@@ -1,0 +1,112 @@
+package graft.analysis
+
+/** A token produced by analysis.
+  *
+  * Mirrors the reference's attribute bundle (lucene-go
+  * `core/util/attribute/`): CharTerm + Offset + PositionIncrement collapsed
+  * into one case class (`position` is the absolute token position, i.e. the
+  * running sum of position increments, which are always 1 for the standard
+  * chain).
+  */
+final case class Token(term: String, position: Int, startOffset: Int, endOffset: Int)
+
+/** Whitespace-run tokenizer replicating lucene-go's `standard.Tokenizer`.
+  *
+  * Despite its doc comment, the reference tokenizer is NOT UAX#29: it emits
+  * maximal runs of non-whitespace runes, splitting on Go's
+  * `unicode.IsSpace` (reference `core/analysis/standard/tokenizer.go:144-180`).
+  * Offsets are in Unicode code points (the Go code counts runes).
+  */
+object GoWhitespace {
+  /** Go's `unicode.IsSpace` = the Unicode White_Space property:
+    * '\t' '\n' '\v' '\f' '\r' ' ' U+0085 U+00A0, U+1680, U+2000..U+200A,
+    * U+2028, U+2029, U+202F, U+205F, U+3000.
+    * (Java's `Character.isWhitespace` differs — it excludes U+00A0/U+2007/
+    * U+202F — so we hardcode the Go set.)
+    */
+  def isSpace(cp: Int): Boolean = cp match {
+    case 0x09 | 0x0A | 0x0B | 0x0C | 0x0D | 0x20 | 0x85 | 0xA0 => true
+    case 0x1680 => true
+    case c if c >= 0x2000 && c <= 0x200A => true
+    case 0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
+    case _ => false
+  }
+}
+
+/** Standard analyzer pipeline replicating lucene-go `standard.Analyzer`:
+  * Tokenizer (whitespace runs) -> LowerCaseFilter -> StopFilter(stopSet).
+  * Reference: `core/analysis/standard/analyzer.go:39-48`.
+  *
+  * Pure Scala, no Spark dependency; used inside `flatMap`/`mapPartitions`
+  * on executors and registered as a UDF for DataFrame use.
+  *
+  * @param stopSet exact-match stop terms (the reference ships no built-in
+  *                English list; the set is a constructor argument,
+  *                `core/analysis/stopfilter.go:16-30`)
+  */
+final class Analyzer(val stopSet: Set[String] = Set.empty) extends Serializable {
+
+  /** Lowercase one code point the way Go's `strings.ToLower` does: per-rune
+    * `unicode.ToLower` (no locale special-casing, no 1->N expansions).
+    * `Character.toLowerCase(int)` is the JVM equivalent of the per-rune map.
+    */
+  @inline private def lowerCp(cp: Int): Int = Character.toLowerCase(cp)
+
+  /** Tokenize into terms with positions and code-point offsets.
+    * Whitespace-run splitting per `tokenizer.go:144-180`; lowercasing per
+    * `lowercasefilter.go:24-39`; stop removal per `stopfilter.go:16-30`.
+    * Position increments: stop-removal does NOT leave holes in the
+    * reference's standard chain (StopFilter there doesn't adjust
+    * posIncr for BM25 purposes; positions are not used by scoring).
+    */
+  def tokenize(text: String): Vector[Token] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[Token]
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0          // char index
+    var cpIndex = 0    // code-point index (Go rune offset)
+    var tokStart = -1
+    var pos = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (GoWhitespace.isSpace(cp)) {
+        if (tokStart >= 0) {
+          val term = sb.toString
+          if (!stopSet.contains(term)) { out += Token(term, pos, tokStart, cpIndex); pos += 1 }
+          sb.setLength(0); tokStart = -1
+        }
+      } else {
+        if (tokStart < 0) tokStart = cpIndex
+        sb.appendCodePoint(lowerCp(cp))
+      }
+      i += Character.charCount(cp)
+      cpIndex += 1
+    }
+    if (tokStart >= 0) {
+      val term = sb.toString
+      if (!stopSet.contains(term)) out += Token(term, pos, tokStart, cpIndex)
+    }
+    out.result()
+  }
+
+  /** Terms only (the common indexing path). */
+  def terms(text: String): Vector[String] = tokenize(text).map(_.term)
+
+  /** Per-document term frequencies plus the field length (norm).
+    * Norm = token count after the full chain = `invertState.Length`
+    * (standard chain has no overlaps, so `Length - NumOverlap = Length`;
+    * reference `core/index/defaultindexingchain.go:845-865`,
+    * `core/search/similaritybm25.go:111-123`).
+    */
+  def termFreqs(text: String): (collection.Map[String, Int], Int) = {
+    val ts = terms(text)
+    val m = scala.collection.mutable.HashMap.empty[String, Int]
+    ts.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
+    (m, ts.size)
+  }
+}
+
+object Analyzer {
+  val standard: Analyzer = new Analyzer(Set.empty)
+}

@@ -1,0 +1,87 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.index.{BuildConfig, IndexBuilder, IndexIO}
+import graft.search._
+
+/** spark-submit entry points (SURVEY.md §7 module 7). Local runs use
+  * `sbt "runMain graft.cli.BuildIndex ..."`; on a cluster the same mains go
+  * through spark-submit unchanged.
+  */
+object CliSpark {
+  def session(app: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val b = SparkSession.builder().appName(app)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // spark-submit provides the master; default to local[cpus] otherwise
+    val withMaster = if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Build an inverted index from a parquet table.
+  * args: <inputParquet> <indexDir> [idCol=doc_id] [contentCol=text] [numSegments=8]
+  */
+object BuildIndex {
+  def main(args: Array[String]): Unit = {
+    val input = args(0)
+    val indexDir = args(1)
+    val idCol = if (args.length > 2) args(2) else "doc_id"
+    val contentCol = if (args.length > 3) args(3) else "text"
+    val numSegments = if (args.length > 4) args(4).toInt else 8
+    val spark = CliSpark.session("graft-build")
+    val df = spark.read.parquet(input)
+    val t0 = System.nanoTime()
+    val idx = IndexBuilder.buildOrLoad(spark, df, idCol, contentCol, indexDir,
+      BuildConfig(numSegments = numSegments), inputPath = input)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val st = idx.stats
+    println(f"[graft] built gen=${idx.manifest.generation} segments=${idx.manifest.numSegments} " +
+      f"docs=${st.docCount} fieldDocs=${st.fieldDocCount} terms(sumDf)=${st.sumDocFreq} " +
+      f"tokens=${st.sumTotalTermFreq} avgdl=${st.avgdl}%.3f in $secs%.2f s " +
+      f"(${st.docCount / math.max(secs, 1e-9)}%.0f docs/s)")
+    idx.manifest.segments.foreach(s =>
+      println(s"[graft]   segment ${s.segmentId}: docs=${s.docCount} terms=${s.termCount} " +
+        s"postings=${s.postingCount} lineage=${s.lineageSha.take(12)}"))
+    spark.stop()
+  }
+}
+
+/** Query an index. Query syntax (one token per arg, Lucene-ish):
+  * `+term` = MUST, `-term` = MUST_NOT, `term` = SHOULD, `term*` = prefix.
+  * args: <indexDir> <k> <query terms...>
+  */
+object Search {
+  def parse(terms: Seq[String]): Query = {
+    val must = terms.filter(_.startsWith("+")).map(t => TermQ(t.drop(1)): Query)
+    val mustNot = terms.filter(_.startsWith("-")).map(t => TermQ(t.drop(1)): Query)
+    val should = terms.filterNot(t => t.startsWith("+") || t.startsWith("-")).map {
+      case t if t.endsWith("*") => PrefixQ(t.dropRight(1)): Query
+      case t => TermQ(t): Query
+    }
+    Query.normalize(BoolQ(must = must, should = should, mustNot = mustNot))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val indexDir = args(0)
+    val k = args(1).toInt
+    val q = parse(args.drop(2).toSeq)
+    val spark = CliSpark.session("graft-search")
+    IndexIO.readManifest(spark, indexDir) match {
+      case None => System.err.println(s"[graft] no committed index at $indexDir"); sys.exit(2)
+      case Some(m) =>
+        val searcher = new IndexSearcher(new graft.index.BuiltIndex(indexDir, m))
+        println(s"[graft] query: $q")
+        val t0 = System.nanoTime()
+        val hits = searcher.search(spark, q, k).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[graft] ${hits.length} hits in $ms%.1f ms (totalHits=${searcher.count(spark, q)})")
+        hits.zipWithIndex.foreach { case (h, i) => println(f"[graft]  #${i + 1}%2d doc=${h.docId}%6d score=${h.score}%.6f") }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,148 @@
+package graft.codec
+
+import java.io.{ByteArrayOutputStream}
+
+/** Variable-length + zig-zag integer codecs.
+  *
+  * Semantics replicate the reference's VByte varints
+  * (`core/store/dataio.go` WriteUvarint: 7 bits per byte, low bits first,
+  * high-bit continuation) and zig-zag (`core/util/zigzag/`).
+  * Pure Scala — used inside per-partition encode/decode kernels; never a UDF.
+  */
+object Varint {
+  def writeUvarint(out: ByteArrayOutputStream, value0: Long): Unit = {
+    var value = value0
+    while ((value & ~0x7FL) != 0L) {
+      out.write(((value & 0x7F) | 0x80).toInt)
+      value >>>= 7
+    }
+    out.write(value.toInt)
+  }
+
+  /** Read an unsigned varint from `buf` at `pos`; returns (value, newPos). */
+  def readUvarint(buf: Array[Byte], pos: Int): (Long, Int) = {
+    var p = pos
+    var shift = 0
+    var result = 0L
+    var b = 0
+    do {
+      b = buf(p) & 0xFF
+      result |= (b & 0x7FL) << shift
+      shift += 7
+      p += 1
+    } while ((b & 0x80) != 0)
+    (result, p)
+  }
+
+  @inline def zigzagEncode(v: Long): Long = (v << 1) ^ (v >> 63)
+  @inline def zigzagDecode(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+}
+
+/** Frame-of-reference bit-packed block codec.
+  *
+  * Mirrors the layout idea of the reference's `BlockPackedWriter`
+  * (`core/util/packed/blockpacked.go:15-75`): per block a header token
+  * `(bitsPerValue << 1) | minIsZero`, a zig-zag varint minimum when present,
+  * then the deltas-from-min bit-packed at `bitsPerValue`. We do not copy the
+  * file format — this is our own byte layout with the same FOR semantics.
+  */
+object ForBlock {
+  /** Encode `values` (non-negative not required; min-offset handles sign). */
+  def encode(values: Array[Long]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(values.length + 8)
+    Varint.writeUvarint(out, values.length.toLong)
+    if (values.isEmpty) return out.toByteArray
+    var min = Long.MaxValue
+    var i = 0
+    while (i < values.length) { if (values(i) < min) min = values(i); i += 1 }
+    var maxDelta = 0L
+    i = 0
+    while (i < values.length) { val d = values(i) - min; if (d > maxDelta) maxDelta = d; i += 1 }
+    val bpvRaw = if (maxDelta == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(maxDelta)
+    // accumulator-based packing is correct up to 56 bits; wider values are
+    // stored raw (8 LE bytes each, bpv sentinel 64)
+    val bpv = if (bpvRaw > 56) 64 else bpvRaw
+    val minIsZero = if (min == 0L) 1 else 0
+    out.write((bpv << 1) | minIsZero)
+    if (minIsZero == 0) Varint.writeUvarint(out, Varint.zigzagEncode(min))
+    if (bpv == 64) {
+      i = 0
+      while (i < values.length) {
+        val d = values(i) - min
+        var k = 0
+        while (k < 8) { out.write(((d >>> (k * 8)) & 0xFF).toInt); k += 1 }
+        i += 1
+      }
+    } else if (bpv > 0) {
+      // bit-pack deltas LSB-first into a long accumulator
+      var acc = 0L
+      var accBits = 0
+      i = 0
+      while (i < values.length) {
+        val d = values(i) - min
+        acc |= (d << accBits)
+        accBits += bpv
+        if (accBits >= 64) {
+          var k = 0
+          while (k < 8) { out.write(((acc >>> (k * 8)) & 0xFF).toInt); k += 1 }
+          accBits -= 64
+          acc = if (accBits == 0) 0L else (d >>> (bpv - accBits))
+        }
+        i += 1
+      }
+      if (accBits > 0) {
+        val nBytes = (accBits + 7) / 8
+        var k = 0
+        while (k < nBytes) { out.write(((acc >>> (k * 8)) & 0xFF).toInt); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  def decode(buf: Array[Byte]): Array[Long] = {
+    var (nL, p) = Varint.readUvarint(buf, 0)
+    val n = nL.toInt
+    if (n == 0) return Array.emptyLongArray
+    val header = buf(p) & 0xFF; p += 1
+    val bpv = header >>> 1
+    val minIsZero = (header & 1) == 1
+    var min = 0L
+    if (!minIsZero) {
+      val (zz, p2) = Varint.readUvarint(buf, p)
+      min = Varint.zigzagDecode(zz); p = p2
+    }
+    val out = new Array[Long](n)
+    if (bpv == 0) {
+      java.util.Arrays.fill(out, min)
+      return out
+    }
+    if (bpv == 64) {
+      var i = 0
+      while (i < n) {
+        var d = 0L
+        var k = 0
+        while (k < 8) { d |= (buf(p) & 0xFFL) << (k * 8); p += 1; k += 1 }
+        out(i) = d + min
+        i += 1
+      }
+      return out
+    }
+    val mask = (1L << bpv) - 1L
+    var acc = 0L
+    var accBits = 0
+    var i = 0
+    while (i < n) {
+      while (accBits < bpv) {
+        acc |= (buf(p) & 0xFFL) << accBits
+        accBits += 8
+        p += 1
+      }
+      val d = acc & mask
+      acc = acc >>> bpv
+      accBits -= bpv
+      out(i) = d + min
+      i += 1
+    }
+    out
+  }
+}

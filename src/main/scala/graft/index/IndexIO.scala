@@ -1,0 +1,43 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest commit/read — the `segments_N` analogue
+  * (`core/index/segmentinfos.go:39-46`): the manifest is written last, after
+  * all segment parquet is durable, so a reader that finds a manifest sees a
+  * complete, consistent generation. Stored as a 1-row parquet dataset (plus
+  * the raw parquet _SUCCESS markers Spark already writes per directory).
+  */
+object IndexIO {
+  def manifestPath(indexDir: String): String = s"$indexDir/manifest"
+
+  def writeManifest(spark: SparkSession, indexDir: String, m: Manifest): Unit = {
+    import spark.implicits._
+    Seq(m).toDS().coalesce(1).write.mode("overwrite").parquet(manifestPath(indexDir))
+  }
+
+  def readManifest(spark: SparkSession, indexDir: String): Option[Manifest] = {
+    import spark.implicits._
+    try {
+      val ds = spark.read.parquet(manifestPath(indexDir)).as[Manifest]
+      ds.collect().headOption
+    } catch { case _: Throwable => None }
+  }
+}
+
+/** Handle to a committed index generation. */
+final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Serializable {
+  def segmentSize: Long = manifest.segmentSize
+  def stats: IndexStats = manifest.stats
+
+  /** Per-segment posting lists; parquet partitioned by segmentId, files
+    * sorted by term — `filter(col("term") === t)` is answered via parquet
+    * min/max stats + dictionary pushdown (the term-dictionary seek).
+    */
+  def postings(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$indexDir/postings")
+
+  /** (segmentId, docId, norm, sha) — norms + the per-row sha256 invariant. */
+  def docmeta(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$indexDir/docmeta")
+}

@@ -1,0 +1,97 @@
+package graft.index
+
+/** Engine-internal schemas (SURVEY.md §7 module 2, FIXTURES.md §2).
+  *
+  * Postings are stored per segment, sorted by term, in parquet. A posting
+  * block packs up to [[PostingBlock.Size]] docs: docId deltas FOR-packed,
+  * freqs FOR-packed, and the norm byte of each doc (the `fieldLength & 0xFF`
+  * that BM25 needs — carrying it inline makes scoring self-contained per
+  * posting list, so the query kernel never random-accesses a norms file; at
+  * 10^12 docs a broadcast norms table would be impossible).
+  */
+object PostingBlock {
+  /** Docs per block. The reference simpletext codec uses 8
+    * (`codecs/simpletext/skipwriter.go:13-17`); Lucene's default codec and
+    * ours use 128 — block size is a tunable, not a semantic (BASELINE.md).
+    */
+  val Size = 128
+}
+
+/** One compressed posting block.
+  * @param maxDoc   largest local docId in the block (the skip key; `Advance`
+  *                 binary-searches these, mirroring multi-level skip lists,
+  *                 `core/index/multilevelskiplistwriter.go`)
+  * @param count    number of postings in the block
+  * @param docBytes FOR/varint-encoded local docIds (absolute, min-offset FOR
+  *                 makes them deltas-from-min; monotonic)
+  * @param freqBytes FOR-encoded term frequencies
+  * @param norms    one byte per posting: `fieldLength & 0xFF` of that doc
+  * @param impactFreqs/impactNorms pareto-max competitive (freq, norm) pairs
+  *                 for block-max WAND (`core/index/competitiveimpactaccumulator.go:40-84`)
+  */
+final case class PostingBlock(
+    maxDoc: Int,
+    count: Int,
+    docBytes: Array[Byte],
+    freqBytes: Array[Byte],
+    norms: Array[Byte],
+    impactFreqs: Array[Int],
+    impactNorms: Array[Int]
+)
+
+/** The posting list of one term within one segment.
+  * Parquet layout: partitioned by `segmentId`, files sorted by `term` so
+  * parquet min/max column stats give term-seek data skipping (the FST term
+  * dictionary's role, SURVEY.md §1.4).
+  */
+final case class TermPostings(
+    segmentId: Int,
+    term: String,
+    docFreq: Int,
+    totalTermFreq: Long,
+    blocks: Array[PostingBlock]
+)
+
+/** Per-segment metadata + build metrics (north rule: per-partition lineage
+  * and metrics persisted alongside each segment).
+  * docBase: global docId = docBase + localDocId (Lucene docID remap,
+  * `core/index/segmentmerger.go` semantics).
+  */
+final case class SegmentMeta(
+    segmentId: Int,
+    docBase: Long,
+    docCount: Long,
+    fieldDocCount: Long, // docs with >= 1 token (CollectionStatistics.docCount)
+    sumTotalTermFreq: Long,
+    sumDocFreq: Long,
+    termCount: Long,
+    postingCount: Long,
+    bytesWritten: Long,
+    lineageSha: String
+)
+
+/** Global index statistics = sum over segments
+  * (`core/search/indexsearcher.go:438-496` re-aggregates per query; we
+  * aggregate once at build and store in the manifest).
+  */
+final case class IndexStats(
+    docCount: Long,        // total docs (maxDoc analogue)
+    fieldDocCount: Long,   // docs with the field non-empty -> BM25 N
+    sumTotalTermFreq: Long,
+    sumDocFreq: Long
+) {
+  def avgdl: Double = sumTotalTermFreq.toDouble / fieldDocCount.toDouble
+}
+
+/** `segments_N` analogue (`core/index/segmentinfos.go:39-46`): JSON manifest
+  * written atomically after all segment parquet is durable; readers only see
+  * committed generations.
+  */
+final case class Manifest(
+    generation: Long,
+    numSegments: Int,
+    segmentSize: Long, // contiguous docId range per segment; docBase = segmentId * segmentSize
+    stats: IndexStats,
+    segments: Seq[SegmentMeta],
+    corpusSha: String
+)

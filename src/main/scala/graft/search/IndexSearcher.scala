@@ -1,0 +1,282 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.bm25.Bm25
+import graft.index.{BuiltIndex, SegmentMeta, TermPostings}
+
+/** Query-wide constants resolved ONCE on the driver (≙ Weight creation,
+  * `core/search/termquery.go:220-276`: CollectionStatistics + TermStatistics
+  * + idf/avgdl baked in) and shipped to executors in the task closure
+  * (broadcast-variable scale: a few doubles per query term).
+  */
+final case class QueryContext(
+    idf: Map[String, Double],     // per query term
+    cache: Array[Double],         // norm cache, shared across terms
+    fieldDocCount: Long) extends Serializable
+
+final case class ScoredDoc(docId: Long, score: Double)
+
+/** Builds the scorer tree for one segment — the Boolean2ScorerSupplier
+  * decision tree (`core/search/boolean2scorersupplier.go:74-135`):
+  * pure conjunction => req(); pure disjunction => opt() (WAND when pruning
+  * is allowed); mixed => ReqOptSum(req, opt); MUST_NOT via ReqExcl.
+  */
+object ScorerBuilder {
+
+  /** @param minCompetitive collector threshold feedback (enables WAND);
+    *                       pass () => Double.NegativeInfinity for exhaustive
+    * @return None when the query matches nothing in this segment
+    */
+  def build(q: Query, postings: Map[String, TermPostings], segDocCount: Int,
+            ctx: QueryContext, boost: Double, scoring: Boolean,
+            minCompetitive: () => Double): Option[Scorer] = q match {
+    case MatchNoneQ => None
+    case MatchAllQ => Some(new RangeAllScorer(segDocCount, if (scoring) boost else 0.0))
+    case TermQ(t) =>
+      postings.get(t).map { tp =>
+        new PostingsScorer(tp.blocks, boost * ctx.idf.getOrElse(t, 0.0), ctx.cache, scoring)
+      }
+    case BoostQ(sub, b) => build(sub, postings, segDocCount, ctx, boost * b, scoring, minCompetitive)
+    case ConstQ(sub, b) =>
+      build(sub, postings, segDocCount, ctx, 1.0, scoring = false, minCompetitive)
+        .map(inner => new ConstantScoreScorer(inner, if (scoring) boost * b else 0.0))
+    case TermInSetQ(ts) =>
+      val subs = ts.toArray.flatMap(t => postings.get(t))
+        .map(tp => new PostingsScorer(tp.blocks, 0.0, ctx.cache, scoring = false): Scorer)
+      if (subs.isEmpty) None
+      else {
+        val union = if (subs.length == 1) subs(0) else new DisjunctionSumScorer(subs, 1)
+        Some(new ConstantScoreScorer(union, if (scoring) boost else 0.0))
+      }
+    case DisjMaxQ(qs, tb) =>
+      val subs = qs.flatMap(build(_, postings, segDocCount, ctx, boost, scoring, neverPrune)).toArray
+      if (subs.isEmpty) None
+      else if (subs.length == 1) Some(subs(0))
+      else Some(new DisjunctionMaxScorer(subs, tb))
+    case PrefixQ(_) =>
+      throw new IllegalStateException("PrefixQ must be rewritten against the term dictionary before scoring")
+    case b: BoolQ => buildBool(b, postings, segDocCount, ctx, boost, scoring, minCompetitive)
+  }
+
+  private val neverPrune: () => Double = () => Double.NegativeInfinity
+
+  private def buildBool(b: BoolQ, postings: Map[String, TermPostings], segDocCount: Int,
+                        ctx: QueryContext, boost: Double, scoring: Boolean,
+                        minCompetitive: () => Double): Option[Scorer] = {
+    // required clauses: every MUST/FILTER must produce a scorer
+    val mustS = b.must.map(q => build(q, postings, segDocCount, ctx, boost, scoring, neverPrune))
+    val filtS = b.filter.map(q => build(q, postings, segDocCount, ctx, 1.0, scoring = false, neverPrune))
+    if ((mustS ++ filtS).exists(_.isEmpty)) return None
+    val must = mustS.flatten.toArray
+    val filt = filtS.flatten.toArray
+    val req: Option[Scorer] = (must ++ filt) match {
+      case Array() => None
+      case Array(one) if must.length <= 1 => Some(one)
+      case all => Some(new ConjunctionScorer(all, must))
+    }
+
+    val msm = math.max(b.minShouldMatch, if (req.isEmpty) 1 else 0)
+    val shouldS = b.should.flatMap(q => build(q, postings, segDocCount, ctx, boost, scoring, neverPrune)).toArray
+    val opt: Option[Scorer] =
+      if (b.should.isEmpty) None
+      else if (shouldS.length < msm) None
+      else if (shouldS.length == 1 && msm <= 1) Some(shouldS(0))
+      else if (req.isEmpty && msm <= 1 && scoring) Some(new WandScorer(shouldS, minCompetitive))
+      else Some(new DisjunctionSumScorer(shouldS, msm))
+
+    // combine req/opt (Boolean2ScorerSupplier.getInternal)
+    val positive: Option[Scorer] = (req, opt) match {
+      case (None, None) => None
+      case (None, o @ Some(_)) => o
+      case (r @ Some(_), None) =>
+        if (b.should.nonEmpty && b.minShouldMatch > 0) None // required shoulds matched nothing here
+        else r
+      case (Some(r), Some(o)) =>
+        if (b.minShouldMatch > 0) Some(new ConjunctionScorer(Array(r, o), Array(r, o)))
+        else Some(new ReqOptSumScorer(r, o))
+    }
+
+    positive.flatMap { pos =>
+      val exclS = b.mustNot.flatMap(q => build(q, postings, segDocCount, ctx, 1.0, scoring = false, neverPrune))
+      if (exclS.isEmpty) Some(pos)
+      else {
+        val excl = if (exclS.size == 1) exclS.head else new DisjunctionSumScorer(exclS.toArray, 1)
+        Some(new ReqExclScorer(pos, excl))
+      }
+    }
+  }
+}
+
+/** Per-segment search kernel: runs the scorer tree over one segment's
+  * posting lists and collects a local top-k (≙ one leaf in
+  * `IndexSearcher.SearchLeaves`, `core/search/indexsearcher.go:376-392`).
+  */
+object SegmentKernel {
+  def topK(q: Query, postings: Map[String, TermPostings], seg: SegmentMeta,
+           ctx: QueryContext, k: Int, after: Option[(Double, Long)]): Iterator[ScoredDoc] = {
+    val collector = new TopKCollector(k, seg.docBase, after)
+    ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = true,
+        () => collector.minCompetitive) match {
+      case None => Iterator.empty
+      case Some(s) =>
+        var d = s.nextDoc()
+        while (d != DISI.NO_MORE) {
+          collector.collect(d, s.score())
+          d = s.nextDoc()
+        }
+        collector.results.iterator.map { case (gid, sc) => ScoredDoc(gid, sc) }
+    }
+  }
+
+  def count(q: Query, postings: Map[String, TermPostings], seg: SegmentMeta,
+            ctx: QueryContext): Long = {
+    ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = false,
+        () => Double.NegativeInfinity) match {
+      case None => 0L
+      case Some(s) =>
+        var n = 0L
+        var d = s.nextDoc()
+        while (d != DISI.NO_MORE) { n += 1; d = s.nextDoc() }
+        n
+    }
+  }
+
+  /** All matching docs with scores (exhaustive; for oracles & set ops). */
+  def scoreAll(q: Query, postings: Map[String, TermPostings], seg: SegmentMeta,
+               ctx: QueryContext): Iterator[ScoredDoc] = {
+    ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = true,
+        () => Double.NegativeInfinity) match {
+      case None => Iterator.empty
+      case Some(s) =>
+        Iterator.continually {
+          val d = s.nextDoc()
+          if (d == DISI.NO_MORE) null else ScoredDoc(seg.docBase + d, s.score())
+        }.takeWhile(_ != null)
+    }
+  }
+}
+
+/** Driver-side searcher (SURVEY.md §3.2 Spark shape):
+  * rewrite + weight on the driver (tiny stats lookup with term pushdown),
+  * scorer tree per partition via cogroup over segments, leaf top-k heaps,
+  * final `orderBy(score desc, docId asc).limit(k)` ≡ `MergeTopDocs`
+  * (global docIds encode (segment asc, localDoc asc), so the tie-break keys
+  * are identical to `core/search/topdocs.go:33-110`).
+  */
+final class IndexSearcher(index: BuiltIndex) extends Serializable {
+
+  /** Resolve the query: normalize + expand PrefixQ against the dictionary. */
+  def rewrite(spark: SparkSession, q0: Query): Query = {
+    val q1 = Query.normalize(q0)
+    val expanded = expandPrefixes(spark, q1)
+    Query.normalize(expanded)
+  }
+
+  private def expandPrefixes(spark: SparkSession, q: Query): Query = q match {
+    case PrefixQ(p) =>
+      import spark.implicits._
+      // term-dictionary scan with pushdown (StartsWith reaches parquet)
+      val ts = index.postings(spark).select("term").where(col("term").startsWith(p))
+        .distinct().as[String].collect().toSet
+      ConstQ(TermInSetQ(ts), 1.0)
+    case BoolQ(m, s, f, n, msm) =>
+      BoolQ(m.map(expandPrefixes(spark, _)), s.map(expandPrefixes(spark, _)),
+        f.map(expandPrefixes(spark, _)), n.map(expandPrefixes(spark, _)), msm)
+    case BoostQ(sub, b) => BoostQ(expandPrefixes(spark, sub), b)
+    case ConstQ(sub, b) => ConstQ(expandPrefixes(spark, sub), b)
+    case DisjMaxQ(qs, tb) => DisjMaxQ(qs.map(expandPrefixes(spark, _)), tb)
+    case other => other
+  }
+
+  /** Global term statistics for the query terms: sum over segments, pushed
+    * down to the term-sorted parquet (`indexsearcher.go:438-496` analogue).
+    */
+  def termStats(spark: SparkSession, terms: Set[String]): Map[String, (Long, Long)] = {
+    if (terms.isEmpty) return Map.empty
+    index.postings(spark)
+      .where(col("term").isin(terms.toSeq: _*))
+      .groupBy("term")
+      .agg(sum("docFreq").as("df"), sum("totalTermFreq").as("ttf"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  def queryContext(spark: SparkSession, q: Query): QueryContext = {
+    val stats = termStats(spark, q.terms)
+    val n = index.stats.fieldDocCount
+    val idf = stats.map { case (t, (df, _)) => t -> Bm25.idf(df, n) }
+    QueryContext(idf, Bm25.buildCache(index.stats.avgdl), n)
+  }
+
+  /** Top-k search. Returns a DataFrame (doc_id, score) ordered by
+    * score desc, doc_id asc, limited to k.
+    */
+  def search(spark: SparkSession, q0: Query, k: Int,
+             after: Option[(Double, Long)] = None): Dataset[ScoredDoc] = {
+    import spark.implicits._
+    val q = rewrite(spark, q0)
+    val ctx = queryContext(spark, q)
+    val perLeaf = runLeaves(spark, q) { (seg, post) =>
+      SegmentKernel.topK(q, post, seg, ctx, k, after)
+    }
+    perLeaf.orderBy($"score".desc, $"docId".asc).limit(k).as[ScoredDoc]
+  }
+
+  /** Exhaustive (doc, score) stream for every match — oracle/verify path. */
+  def scoreAll(spark: SparkSession, q0: Query): Dataset[ScoredDoc] = {
+    val q = rewrite(spark, q0)
+    val ctx = queryContext(spark, q)
+    runLeaves(spark, q)((seg, post) => SegmentKernel.scoreAll(q, post, seg, ctx))
+  }
+
+  /** Hit count with the reference's O(1) shortcuts
+    * (`core/search/indexsearcher.go:91-133`). */
+  def count(spark: SparkSession, q0: Query): Long = {
+    import spark.implicits._
+    val q = rewrite(spark, q0)
+    q match {
+      case MatchAllQ => index.stats.docCount
+      case TermQ(t) => termStats(spark, Set(t)).get(t).map(_._1).getOrElse(0L)
+      case MatchNoneQ => 0L
+      case _ =>
+        val ctx = queryContext(spark, q)
+        val segsDs = spark.createDataset(index.manifest.segments)
+        cogroupLeaves(spark, segsDs, q)((seg, post) =>
+          Iterator.single(SegmentKernel.count(q, post, seg, ctx)))
+          .reduce(_ + _)
+    }
+  }
+
+  private def runLeaves(spark: SparkSession, q: Query)(
+      kernel: (SegmentMeta, Map[String, TermPostings]) => Iterator[ScoredDoc]): Dataset[ScoredDoc] = {
+    import spark.implicits._
+    val segsDs = spark.createDataset(index.manifest.segments)
+    cogroupLeaves(spark, segsDs, q)(kernel)
+  }
+
+  /** Co-locate each segment's metadata with its query-term posting rows.
+    * Only the query terms' rows move (parquet term pushdown), so the shuffle
+    * is |queryTerms| x |segments| rows regardless of corpus size.
+    */
+  private def cogroupLeaves[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, segsDs: Dataset[SegmentMeta], q: Query)(
+      kernel: (SegmentMeta, Map[String, TermPostings]) => Iterator[T]): Dataset[T] = {
+    import spark.implicits._
+    val terms = q.terms
+    val rows: Dataset[TermPostings] =
+      if (terms.isEmpty) spark.emptyDataset[TermPostings]
+      else index.postings(spark).where(col("term").isin(terms.toSeq: _*)).as[TermPostings]
+    segsDs.groupByKey(_.segmentId)
+      .cogroup(rows.groupByKey(_.segmentId)) { (_, segIt, postIt) =>
+        segIt.toSeq.headOption match {
+          case None => Iterator.empty
+          case Some(seg) =>
+            val post = postIt.map(tp => tp.term -> tp).toMap
+            kernel(seg, post)
+        }
+      }
+  }
+}

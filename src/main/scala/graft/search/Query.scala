@@ -1,0 +1,109 @@
+package graft.search
+
+/** Query ADT (SURVEY.md §7 module 5). Mirrors the reference's query surface:
+  * TermQuery, BooleanQuery (MUST/SHOULD/FILTER/MUST_NOT + minimumShouldMatch,
+  * `core/search/booleanquery.go:22-26`), BoostQuery, ConstantScoreQuery,
+  * MatchAll/MatchNoDocs, TermInSetQuery, DisjunctionMaxQuery, PrefixQuery
+  * (stub in the reference — Lucene semantics: rewrite to a constant-score
+  * disjunction over matching dictionary terms).
+  *
+  * This is OUR tree, not a Catalyst LogicalPlan — the normalize pass below is
+  * a plain Scala rewrite (reference fixed-point loop,
+  * `core/search/indexsearcher.go:412-429`).
+  */
+sealed trait Query {
+  /** All dictionary terms the query touches (for the stats lookup + the
+    * posting-list pushdown filter). */
+  def terms: Set[String] = this match {
+    case TermQ(t)            => Set(t)
+    case BoolQ(m, s, f, n, _) => (m ++ s ++ f ++ n).flatMap(_.terms).toSet
+    case BoostQ(q, _)        => q.terms
+    case ConstQ(q, _)        => q.terms
+    case TermInSetQ(ts)      => ts
+    case DisjMaxQ(qs, _)     => qs.flatMap(_.terms).toSet
+    case _                   => Set.empty
+  }
+}
+
+final case class TermQ(term: String) extends Query
+final case class BoolQ(
+    must: Seq[Query] = Nil,
+    should: Seq[Query] = Nil,
+    filter: Seq[Query] = Nil,
+    mustNot: Seq[Query] = Nil,
+    minShouldMatch: Int = 0) extends Query
+final case class BoostQ(q: Query, boost: Double) extends Query
+/** Every match scores `boost` (filter context), `core/search/constantscorequery.go`. */
+final case class ConstQ(q: Query, boost: Double = 1.0) extends Query
+case object MatchAllQ extends Query
+case object MatchNoneQ extends Query
+/** Constant-score disjunction over many terms, `core/search/terminsetquery.go`. */
+final case class TermInSetQ(ts: Set[String]) extends Query
+/** max(sub scores) + tieBreak * (sum - max), `core/search/disjunctionmaxquery.go`. */
+final case class DisjMaxQ(qs: Seq[Query], tieBreak: Double) extends Query
+/** Rewritten against the term dictionary before scoring (MultiTermQuery
+  * CONSTANT_SCORE rewrite; the reference's PrefixQuery is an empty stub,
+  * `core/search/prefixquery.go:3`, so Lucene 8.11 semantics apply). */
+final case class PrefixQ(prefix: String) extends Query
+
+object Query {
+  /** Fixed-point normalization replicating the BooleanQuery rewrites
+    * (`core/search/booleanquery.go:75-160` + SURVEY.md §4.1):
+    *  - 1-clause unwrap (single MUST, or single SHOULD with msm<=1)
+    *  - pure-negative => MatchNoDocs
+    *  - clause both required and excluded => MatchNoDocs
+    *  - dedup FILTER / MUST_NOT clauses
+    *  - MatchNone in MUST/FILTER => MatchNone; drop MatchNone SHOULD/MUST_NOT
+    *  - msm > |should| => MatchNone
+    */
+  def normalize(q: Query): Query = {
+    var cur = q
+    var prev: Query = null
+    var iter = 0
+    while (cur != prev && iter < 16) { prev = cur; cur = rewriteOnce(cur); iter += 1 }
+    cur
+  }
+
+  private def rewriteOnce(q: Query): Query = q match {
+    case BoostQ(sub, b) =>
+      rewriteOnce(sub) match {
+        case MatchNoneQ => MatchNoneQ
+        case BoostQ(s2, b2) => BoostQ(s2, b * b2)
+        case s => if (b == 1.0) s else BoostQ(s, b)
+      }
+    case ConstQ(sub, b) =>
+      rewriteOnce(sub) match {
+        case MatchNoneQ => MatchNoneQ
+        case s => ConstQ(s, b)
+      }
+    case DisjMaxQ(qs, tb) =>
+      val subs = qs.map(rewriteOnce).filterNot(_ == MatchNoneQ)
+      if (subs.isEmpty) MatchNoneQ
+      else if (subs.size == 1) subs.head
+      else DisjMaxQ(subs, tb)
+    case TermInSetQ(ts) if ts.isEmpty => MatchNoneQ
+    case b: BoolQ => rewriteBool(b)
+    case other => other
+  }
+
+  private def rewriteBool(b0: BoolQ): Query = {
+    val must = b0.must.map(rewriteOnce)
+    val should = b0.should.map(rewriteOnce).filterNot(_ == MatchNoneQ)
+    val filter = b0.filter.map(rewriteOnce).distinct
+    val mustNot = b0.mustNot.map(rewriteOnce).filterNot(_ == MatchNoneQ).distinct
+
+    if (must.contains(MatchNoneQ) || filter.contains(MatchNoneQ)) return MatchNoneQ
+    // a clause both required and excluded matches nothing
+    if ((must ++ filter).exists(mustNot.contains)) return MatchNoneQ
+    if (mustNot.contains(MatchAllQ)) return MatchNoneQ
+    val msm = b0.minShouldMatch
+    if (msm > should.size && b0.should.nonEmpty) return MatchNoneQ
+    if (must.isEmpty && filter.isEmpty && should.isEmpty) return MatchNoneQ // pure negative or empty
+
+    // 1-clause unwrap
+    if (must.size == 1 && should.isEmpty && filter.isEmpty && mustNot.isEmpty) return must.head
+    if (should.size == 1 && must.isEmpty && filter.isEmpty && mustNot.isEmpty && msm <= 1)
+      return should.head
+    BoolQ(must, should, filter, mustNot, msm)
+  }
+}

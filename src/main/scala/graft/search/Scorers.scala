@@ -1,0 +1,458 @@
+package graft.search
+
+import graft.bm25.Bm25
+import graft.codec.ForBlock
+import graft.index.PostingBlock
+
+/** Doc-id set iterator conventions (reference `PostingsEnum`/DISI):
+  * docId starts at -1, `NO_MORE` = Int.MaxValue, `advance(t)` lands on the
+  * first doc >= t. All docIds here are segment-local ints.
+  */
+object DISI { val NO_MORE: Int = Int.MaxValue }
+
+trait Scorer {
+  def docId: Int
+  def nextDoc(): Int
+  def advance(target: Int): Int
+  /** Score of the current doc (undefined unless positioned on a match). */
+  def score(): Double
+  def cost: Long
+  /** Upper bound of score() over all remaining docs (for WAND pruning). */
+  def maxScore: Double
+}
+
+/** Posting-list scorer: decodes FOR blocks lazily, one block at a time;
+  * `advance` binary-searches block maxDocs (the skip list's role,
+  * `core/index/multilevelskiplistwriter.go`) then binary-searches in-block.
+  * Scoring per `core/search/termscorer.go:51-62` + `similaritybm25.go:235-246`.
+  */
+final class PostingsScorer(
+    blocks: Array[PostingBlock],
+    weight: Double,
+    cache: Array[Double],
+    scoring: Boolean) extends Scorer {
+
+  private var bi = -1
+  private var i = -1
+  private var docs: Array[Long] = _
+  private var freqs: Array[Long] = _
+  private var norms: Array[Byte] = _
+  private var cur = -1
+  private val blockMaxMemo = new Array[Double](blocks.length)
+  java.util.Arrays.fill(blockMaxMemo, Double.NaN)
+
+  val cost: Long = { var s = 0L; var j = 0; while (j < blocks.length) { s += blocks(j).count; j += 1 }; s }
+
+  lazy val maxScore: Double = {
+    if (!scoring) 0.0
+    else { var m = 0.0; var j = 0; while (j < blocks.length) { val b = blockMax(j); if (b > m) m = b; j += 1 }; m }
+  }
+
+  private def blockMax(j: Int): Double = {
+    var m = blockMaxMemo(j)
+    if (m.isNaN) {
+      m = 0.0
+      val blk = blocks(j)
+      var p = 0
+      while (p < blk.impactFreqs.length) {
+        val s = Bm25.score(weight, blk.impactFreqs(p), blk.impactNorms(p), cache)
+        if (s > m) m = s
+        p += 1
+      }
+      blockMaxMemo(j) = m
+    }
+    m
+  }
+
+  /** Max score of the block that covers `target` (without decoding it) —
+    * the `advanceShallow`/`MaxScoreCache` analogue (`core/search/impactsdisi.go`).
+    * Returns 0 if exhausted.
+    */
+  def blockMaxScoreUpTo(target: Int): Double = {
+    val j = findBlock(math.max(bi, 0), target)
+    if (j >= blocks.length) 0.0 else blockMax(j)
+  }
+
+  private def findBlock(from: Int, target: Int): Int = {
+    var lo = from
+    var hi = blocks.length - 1
+    if (lo >= blocks.length || blocks(hi).maxDoc < target) return blocks.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (blocks(mid).maxDoc < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  private def loadBlock(): Unit = {
+    val b = blocks(bi)
+    docs = ForBlock.decode(b.docBytes)
+    freqs = if (scoring) ForBlock.decode(b.freqBytes) else null
+    norms = if (scoring) b.norms else null
+  }
+
+  def docId: Int = cur
+
+  def nextDoc(): Int = {
+    if (cur == DISI.NO_MORE) return cur
+    i += 1
+    if (docs == null || i >= docs.length) {
+      bi += 1
+      if (bi >= blocks.length) { cur = DISI.NO_MORE; return cur }
+      loadBlock(); i = 0
+    }
+    cur = docs(i).toInt
+    cur
+  }
+
+  def advance(target: Int): Int = {
+    if (cur == DISI.NO_MORE) return cur
+    if (cur >= target) return cur
+    if (docs == null || blocks(bi).maxDoc < target) {
+      val j = findBlock(math.max(bi, 0), target)
+      if (j >= blocks.length) { cur = DISI.NO_MORE; return cur }
+      if (j != bi || docs == null) { bi = j; loadBlock(); i = 0 }
+    } else if (i < 0) i = 0
+    // binary search within the block (block maxDoc >= target guarantees a hit)
+    var lo = math.max(i, 0)
+    var hi = docs.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (docs(mid) < target) lo = mid + 1 else hi = mid
+    }
+    i = lo
+    cur = docs(i).toInt
+    cur
+  }
+
+  def freq: Int = freqs(i).toInt
+  def normByte: Int = norms(i) & 0xFF
+
+  def score(): Double =
+    if (scoring) Bm25.score(weight, freqs(i).toInt, norms(i) & 0xFF, cache) else 0.0
+}
+
+/** MatchAllDocs over a segment's dense local docId range
+  * (`core/search/matchalldocsquery.go`). */
+final class RangeAllScorer(docCount: Int, boost: Double) extends Scorer {
+  private var cur = -1
+  def docId: Int = cur
+  def nextDoc(): Int = {
+    if (cur == DISI.NO_MORE) return cur
+    cur = if (cur + 1 >= docCount) DISI.NO_MORE else cur + 1; cur
+  }
+  def advance(target: Int): Int = {
+    if (cur == DISI.NO_MORE) return cur
+    cur = if (target >= docCount) DISI.NO_MORE else math.max(target, cur + 1); cur
+  }
+  def score(): Double = boost
+  def cost: Long = docCount.toLong
+  def maxScore: Double = boost
+}
+
+/** Wrap any iterator with a constant score (`core/search/constantscorescorer.go`). */
+final class ConstantScoreScorer(inner: Scorer, boost: Double) extends Scorer {
+  def docId: Int = inner.docId
+  def nextDoc(): Int = inner.nextDoc()
+  def advance(target: Int): Int = inner.advance(target)
+  def score(): Double = boost
+  def cost: Long = inner.cost
+  def maxScore: Double = boost
+}
+
+/** Leapfrog conjunction led by the min-cost iterator
+  * (`core/search/conjunctionscorer.go`, cost ordering
+  * `conjunctiondisi.go:23-31`). score = sum of the SCORING subset (FILTER
+  * clauses iterate but contribute 0, `core/search/booleanweight.go`).
+  */
+final class ConjunctionScorer(allSubs: Array[Scorer], scoringSubs: Array[Scorer]) extends Scorer {
+  private val subs = allSubs.sortBy(_.cost) // lead = cheapest
+  private var cur = -1
+
+  def docId: Int = cur
+  def cost: Long = subs.map(_.cost).min
+  lazy val maxScore: Double = scoringSubs.map(_.maxScore).sum
+
+  private def doNext(target0: Int): Int = {
+    var target = target0
+    var advanced = true
+    while (advanced && target != DISI.NO_MORE) {
+      advanced = false
+      var j = 0
+      while (j < subs.length && !advanced) {
+        val s = subs(j)
+        if (s.docId < target) {
+          val d = s.advance(target)
+          if (d > target) { target = d; advanced = true }
+        } else if (s.docId > target) { target = s.docId; advanced = true }
+        j += 1
+      }
+    }
+    cur = target
+    cur
+  }
+
+  def nextDoc(): Int = {
+    if (cur == DISI.NO_MORE) return cur
+    doNext(subs(0).nextDoc())
+  }
+
+  def advance(target: Int): Int = {
+    if (cur == DISI.NO_MORE || cur >= target) return cur
+    doNext(subs(0).advance(target))
+  }
+
+  def score(): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < scoringSubs.length) { s += scoringSubs(j).score(); j += 1 }
+    s
+  }
+}
+
+/** Exhaustive disjunction-sum with minShouldMatch
+  * (semantics of the reference's stubbed `DisjunctionSumScorer`
+  * `core/search/disjunctionsumscorer.go:12-38`: doc matches if >= msm
+  * clauses match; score = sum of matching clause scores).
+  */
+final class DisjunctionSumScorer(subs: Array[Scorer], msm: Int) extends Scorer {
+  private var cur = -1
+  private var curScore = 0.0
+  def docId: Int = cur
+  def cost: Long = subs.map(_.cost).sum
+  lazy val maxScore: Double = subs.map(_.maxScore).sum
+
+  private def positionAt(target0: Int): Int = {
+    var target = target0
+    while (true) {
+      var min = DISI.NO_MORE
+      var j = 0
+      while (j < subs.length) {
+        val s = subs(j)
+        if (s.docId < target) s.advance(target)
+        if (s.docId < min) min = s.docId
+        j += 1
+      }
+      if (min == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
+      var matched = 0
+      var sc = 0.0
+      j = 0
+      while (j < subs.length) {
+        if (subs(j).docId == min) { matched += 1; sc += subs(j).score() }
+        j += 1
+      }
+      if (matched >= msm) { cur = min; curScore = sc; return cur }
+      target = min + 1
+    }
+    cur
+  }
+
+  def nextDoc(): Int = if (cur == DISI.NO_MORE) cur else positionAt(cur + 1)
+  def advance(target: Int): Int = if (cur == DISI.NO_MORE || cur >= target) cur else positionAt(target)
+  def score(): Double = curScore
+}
+
+/** WAND dynamic pruning over a scoring disjunction (Broder et al.; the
+  * reference's `WANDScorer` is a stub that panics, `core/search/wandscorer.go`
+  * — semantics per the cited papers + Lucene 8.11). Pivot selection uses
+  * per-clause global max scores; before evaluating a pivot, a block-max
+  * check (Ding & Suel) against per-block impacts skips non-competitive
+  * pivots without decoding. Pruning is SAFE: only docs whose score upper
+  * bound is <= the collector's current threshold are skipped, so top-k is
+  * rank-identical to the exhaustive sum (property-tested).
+  *
+  * @param minCompetitive collector feedback: current worst top-k score
+  *                       (docs must score STRICTLY above it to enter — ties
+  *                       lose on docId asc and docIds only grow)
+  */
+final class WandScorer(subs: Array[Scorer], minCompetitive: () => Double) extends Scorer {
+  private var cur = -1
+  private var curScore = 0.0
+  def docId: Int = cur
+  def cost: Long = subs.map(_.cost).sum
+  lazy val maxScore: Double = subs.map(_.maxScore).sum
+
+  private val byDoc: Array[Scorer] = subs.clone()
+
+  private def sortByDoc(): Unit = {
+    // insertion sort: nearly sorted between calls
+    var j = 1
+    while (j < byDoc.length) {
+      val s = byDoc(j)
+      var p = j - 1
+      while (p >= 0 && byDoc(p).docId > s.docId) { byDoc(p + 1) = byDoc(p); p -= 1 }
+      byDoc(p + 1) = s
+      j += 1
+    }
+  }
+
+  private def positionAt(target0: Int): Int = {
+    var target = target0
+    var guard = true
+    while (guard) {
+      val theta = minCompetitive()
+      sortByDoc()
+      if (byDoc(0).docId == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
+      // pivot: first prefix whose summed max scores can beat theta
+      var acc = 0.0
+      var pi = -1
+      var j = 0
+      while (j < byDoc.length && pi < 0) {
+        acc += byDoc(j).maxScore
+        if (acc > theta) pi = j
+        j += 1
+      }
+      if (pi < 0) { cur = DISI.NO_MORE; return cur } // nothing can be competitive
+      var pivot = byDoc(pi).docId
+      if (pivot == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
+      if (pivot < target) pivot = target
+      if (byDoc(0).docId >= pivot) {
+        // all clauses below the pivot sum are AT the pivot (sorted order):
+        // block-max re-check before full evaluation
+        var blockSum = 0.0
+        j = 0
+        while (j < byDoc.length) {
+          if (byDoc(j).docId == pivot) blockSum += (byDoc(j) match {
+            case p: PostingsScorer => p.blockMaxScoreUpTo(pivot)
+            case s => s.maxScore
+          })
+          j += 1
+        }
+        if (blockSum > theta) {
+          // sum in ORIGINAL clause order — the canonical float64 addition
+          // order shared with the exhaustive oracle (the reference's own
+          // DisjunctionSumScorer is a stub, so clause order is our spec)
+          var sc = 0.0
+          j = 0
+          while (j < subs.length) {
+            if (subs(j).docId == pivot) sc += subs(j).score()
+            j += 1
+          }
+          if (sc > theta) { cur = pivot; curScore = sc; return cur }
+        }
+        // not competitive: move every clause past this pivot
+        j = 0
+        while (j < byDoc.length) {
+          if (byDoc(j).docId == pivot) byDoc(j).advance(pivot + 1)
+          j += 1
+        }
+        target = pivot + 1
+      } else {
+        // advance clauses behind the pivot up to it
+        j = 0
+        while (j < byDoc.length) {
+          if (byDoc(j).docId < pivot) byDoc(j).advance(pivot)
+          j += 1
+        }
+      }
+    }
+    cur
+  }
+
+  def nextDoc(): Int = if (cur == DISI.NO_MORE) cur else positionAt(cur + 1)
+  def advance(target: Int): Int = if (cur == DISI.NO_MORE || cur >= target) cur else positionAt(target)
+  def score(): Double = curScore
+}
+
+/** required + optional (`core/search/reqoptsumscorer.go:37-124`):
+  * iterate required; add optional scores when aligned. */
+final class ReqOptSumScorer(req: Scorer, opt: Scorer) extends Scorer {
+  def docId: Int = req.docId
+  def nextDoc(): Int = req.nextDoc()
+  def advance(target: Int): Int = req.advance(target)
+  def cost: Long = req.cost
+  lazy val maxScore: Double = req.maxScore + opt.maxScore
+  def score(): Double = {
+    var s = req.score()
+    if (opt.docId < req.docId) opt.advance(req.docId)
+    if (opt.docId == req.docId) s += opt.score()
+    s
+  }
+}
+
+/** required filtered by absence in exclusion (`core/search/reqexclscorer.go:12-66`). */
+final class ReqExclScorer(req: Scorer, excl: Scorer) extends Scorer {
+  private var cur = -1
+  def docId: Int = cur
+  def cost: Long = req.cost
+  lazy val maxScore: Double = req.maxScore
+
+  private def toNonExcluded(): Int = {
+    var d = req.docId
+    while (d != DISI.NO_MORE) {
+      if (excl.docId < d) excl.advance(d)
+      if (excl.docId != d) { cur = d; return cur }
+      d = req.nextDoc()
+    }
+    cur = DISI.NO_MORE
+    cur
+  }
+
+  def nextDoc(): Int = { req.nextDoc(); toNonExcluded() }
+  def advance(target: Int): Int = { if (req.docId < target) req.advance(target); toNonExcluded() }
+  def score(): Double = req.score()
+}
+
+/** max + tieBreak*(sum-max) over sub-scores (`core/search/disjunctionmaxquery.go:5-34`). */
+final class DisjunctionMaxScorer(subs: Array[Scorer], tieBreak: Double) extends Scorer {
+  private val inner = new DisjunctionSumScorer(subs, 1)
+  def docId: Int = inner.docId
+  def nextDoc(): Int = inner.nextDoc()
+  def advance(target: Int): Int = inner.advance(target)
+  def cost: Long = inner.cost
+  lazy val maxScore: Double = subs.map(_.maxScore).max + tieBreak * (subs.map(_.maxScore).sum - subs.map(_.maxScore).max)
+  def score(): Double = {
+    var mx = Double.NegativeInfinity
+    var sum = 0.0
+    var j = 0
+    while (j < subs.length) {
+      if (subs(j).docId == inner.docId) { val s = subs(j).score(); sum += s; if (s > mx) mx = s }
+      j += 1
+    }
+    mx + tieBreak * (sum - mx)
+  }
+}
+
+/** Bounded top-k heap with the reference's exact tie-break: score desc,
+  * docId asc (`core/search/topscoredoccollector.go:84-110`). Feeds
+  * `minCompetitiveScore` back to WAND. Supports searchAfter cursors
+  * (`PagingTopScoreDocCollector`, `topscoredoccollector.go:243-340`).
+  */
+final class TopKCollector(k: Int, docBase: Long, after: Option[(Double, Long)]) {
+  // min-heap: head = weakest hit (lowest score; among equal, largest docId)
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // lower score = "greater" (worse)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // larger docId = worse
+    }
+  }
+  private val pq = collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+  var collected: Long = 0L
+
+  def minCompetitive: Double =
+    if (pq.size >= k) pq.head._1 else Double.NegativeInfinity
+
+  def collect(localDoc: Int, score: Double): Unit = {
+    collected += 1
+    val gid = docBase + localDoc
+    val pass = after match {
+      case Some((s0, d0)) => score < s0 || (score == s0 && gid > d0)
+      case None => true
+    }
+    if (pass) {
+      if (pq.size < k) pq.enqueue((score, gid))
+      else {
+        val h = pq.head
+        if (score > h._1 || (score == h._1 && gid < h._2)) { pq.dequeue(); pq.enqueue((score, gid)) }
+      }
+    }
+  }
+
+  def results: Array[(Long, Double)] = {
+    val all = pq.dequeueAll.toArray // worst-first
+    val out = new Array[(Long, Double)](all.length)
+    var j = 0
+    while (j < all.length) { val (s, d) = all(all.length - 1 - j); out(j) = (d, s); j += 1 }
+    out
+  }
+}

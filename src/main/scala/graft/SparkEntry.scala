@@ -1,13 +1,230 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{BuildConfig, BuiltIndex, IndexBuilder}
+import graft.search._
+
+/** Driver contract (see builder prompt + SURVEY.md §7).
+  *
+  * Every entry runs the REAL engine end-to-end over
+  * `{sfDir}/documents.parquet` (doc_id, text, …): build the inverted index
+  * (once per sfDir, committed + resumable under java.io.tmpdir), then answer
+  * the query through the posting-list kernels. The paired `oracleSql` is an
+  * independent DuckDB re-derivation of the same semantics — tokenize by
+  * whitespace, tf/df/avgdl, then lucene-go's BM25
+  * (`/root/reference/core/search/similaritybm25.go:235-252`, incl. the
+  * mod-256 norm quirk `:243`) — so a hash match certifies the whole
+  * index-build + search pipeline, not just arithmetic.
+  *
+  * Scores are rounded to 6 decimals on BOTH sides: the engines compute the
+  * same real-valued formula but through different libm/fp paths (JVM vs
+  * DuckDB), so last-ulp differences are expected; 6dp is far above ulp noise
+  * and far below any genuine scoring difference.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    topk(BoolQ(should = Seq(TermQ("spark"), TermQ("data"))), 10)(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- engine
+
+  private val cached = scala.collection.mutable.HashMap.empty[String, IndexSearcher]
+
+  private[graft] def searcher(spark: SparkSession, sfDir: String): IndexSearcher =
+    cached.synchronized {
+      cached.getOrElseUpdate(sfDir, {
+        val docsPath = s"$sfDir/documents.parquet"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val docs = spark.read.parquet(docsPath)
+        val idx = IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
+          BuildConfig(numSegments = 4), inputPath = docsPath)
+        new IndexSearcher(idx)
+      })
+    }
+
+  private def index(spark: SparkSession, sfDir: String): BuiltIndex =
+    searcher(spark, sfDir).index
+
+  /** Top-k hits as (doc_id, score-rounded-6dp), ordered score desc, doc_id asc. */
+  private def topk(q: Query, k: Int)(spark: SparkSession, sfDir: String): DataFrame =
+    searcher(spark, sfDir).search(spark, q, k)
+      .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+
+  private def countOf(q: Query)(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq(searcher(spark, sfDir).count(spark, q)).toDF("cnt")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // single-term BM25 top-k (TermQuery/TermScorer path)
+    "q01_term_topk" -> topk(TermQ("spark"), 10),
+    // rare term, k > docFreq (exhausts the posting list)
+    "q02_term_rare" -> topk(TermQ("dup"), 30),
+    // conjunction: leapfrog intersection, score = sum (ConjunctionScorer)
+    "q03_and" -> topk(BoolQ(must = Seq(TermQ("spark"), TermQ("join"))), 10),
+    // pure disjunction: block-max WAND pruning path (WandScorer)
+    "q04_or_wand" -> topk(BoolQ(should = Seq(TermQ("dup"), TermQ("vector"))), 10),
+    // disjunction with minimumShouldMatch=2 (DisjunctionSumScorer)
+    "q05_or_msm2" -> topk(BoolQ(
+      should = Seq(TermQ("spark"), TermQ("data"), TermQ("dup")), minShouldMatch = 2), 10),
+    // MUST_NOT exclusion (ReqExclScorer)
+    "q06_must_not" -> topk(BoolQ(must = Seq(TermQ("query")), mustNot = Seq(TermQ("dup"))), 10),
+    // FILTER clause: matches required, contributes no score (non-scoring req)
+    "q07_filter" -> topk(BoolQ(must = Seq(TermQ("merge")), filter = Seq(TermQ("sort"))), 10),
+    // BoostQuery: weight = boost * idf
+    "q08_boost" -> topk(BoolQ(should = Seq(BoostQ(TermQ("spark"), 2.5), TermQ("dup"))), 10),
+    // DisjunctionMaxQuery: max + tieBreak*(sum-max)
+    "q09_dismax" -> topk(DisjMaxQ(Seq(TermQ("join"), TermQ("hash")), 0.3), 10),
+    // PrefixQuery: rewritten against the term dictionary, constant score
+    "q10_prefix" -> topk(PrefixQ("du"), 30),
+    // TermInSetQuery: constant-score multi-term disjunction
+    "q11_term_in_set" -> topk(ConstQ(TermInSetQ(Set("dup", "vector")), 1.0), 30),
+    // MatchAllDocsQuery
+    "q12_match_all" -> topk(MatchAllQ, 5),
+    // O(1) count shortcut (Term => sum docFreq from stats)
+    "q13_count_term" -> countOf(TermQ("spark")),
+    // kernel count over a conjunction
+    "q14_count_and" -> countOf(BoolQ(must = Seq(TermQ("spark"), TermQ("data")))),
+    // term dictionary statistics (docFreq / totalTermFreq aggregation)
+    "q15_term_stats" -> ((spark: SparkSession, sfDir: String) =>
+      index(spark, sfDir).postings(spark)
+        .where(col("term").isin("spark", "join", "dup", "vector", "merge"))
+        .groupBy("term")
+        .agg(sum("docFreq").cast("long").as("df"), sum("totalTermFreq").cast("long").as("ttf"))
+        .orderBy("term")),
+    // norms column: field length per doc (DefaultIndexingChain norm semantics)
+    "q16_norms" -> ((spark: SparkSession, sfDir: String) =>
+      index(spark, sfDir).docmeta(spark)
+        .select(col("docId").as("doc_id"), col("norm").cast("long").as("len"))
+        .orderBy("doc_id")),
+    // per-row sha256(content) invariant (BASELINE.json input_hint)
+    "q17_sha" -> ((spark: SparkSession, sfDir: String) =>
+      index(spark, sfDir).docmeta(spark)
+        .select(col("docId").as("doc_id"), col("sha"))
+        .orderBy("doc_id")),
+    // searchAfter deep paging: ranks 11..20
+    "q18_search_after" -> ((spark: SparkSession, sfDir: String) => {
+      val s = searcher(spark, sfDir)
+      val q = TermQ("join")
+      val page1 = s.search(spark, q, 10).collect()
+      val cursor = (page1.last.score, page1.last.docId)
+      s.search(spark, q, 10, after = Some(cursor))
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared DuckDB CTE: tokenize → tf → doc length → collection stats → df →
+    * per-(doc,term) BM25 ingredients. Mirrors the engine exactly:
+    *  idf  = ln(1 + (N - df + 0.5)/(df + 0.5))   N = docs with ≥1 token
+    *  cn   = 1/(k1·((1-b) + b·(len mod 256)/avgdl))  k1=1.2 b=0.75
+    *  score = idf - idf/(1 + freq·cn)
+    */
+  private val base: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS freq FROM tok WHERE term <> '' GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, count(*)::BIGINT AS len FROM tok WHERE term <> '' GROUP BY 1
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n, sum(len)::DOUBLE / count(*) AS avgdl FROM dl
+      |), df AS (
+      |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+      |), sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) AS idf,
+      |    1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len % 256) / st.avgdl)) AS cn,
+      |    tf.freq AS freq
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st
+      |)""".stripMargin
+
+  /** BM25 score of `term` per matching doc, as a named CTE body. */
+  private def hits(term: String): String =
+    s"SELECT doc_id, idf - idf / (1.0 + freq * cn) AS s FROM sc WHERE term = '$term'"
+
+  private def top(k: Int, from: String = "hits", offset: Int = 0): String =
+    s"SELECT doc_id, round(s, 6) AS score FROM $from ORDER BY s DESC, doc_id ASC LIMIT $k" +
+      (if (offset > 0) s" OFFSET $offset" else "")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_term_topk" -> s"$base, hits AS (${hits("spark")}) ${top(10)}",
+    "q02_term_rare" -> s"$base, hits AS (${hits("dup")}) ${top(30)}",
+    "q03_and" ->
+      s"""$base, h1 AS (${hits("spark")}), h2 AS (${hits("join")}),
+         |hits AS (SELECT h1.doc_id, h1.s + h2.s AS s FROM h1 JOIN h2 USING (doc_id))
+         |${top(10)}""".stripMargin,
+    "q04_or_wand" ->
+      s"""$base, h1 AS (${hits("dup")}), h2 AS (${hits("vector")}),
+         |ids AS (SELECT doc_id FROM h1 UNION SELECT doc_id FROM h2),
+         |hits AS (SELECT ids.doc_id, COALESCE(h1.s, 0) + COALESCE(h2.s, 0) AS s
+         |         FROM ids LEFT JOIN h1 USING (doc_id) LEFT JOIN h2 USING (doc_id))
+         |${top(10)}""".stripMargin,
+    "q05_or_msm2" ->
+      s"""$base, h1 AS (${hits("spark")}), h2 AS (${hits("data")}), h3 AS (${hits("dup")}),
+         |ids AS (SELECT doc_id FROM h1 UNION SELECT doc_id FROM h2 UNION SELECT doc_id FROM h3),
+         |hits AS (SELECT ids.doc_id,
+         |           COALESCE(h1.s, 0) + COALESCE(h2.s, 0) + COALESCE(h3.s, 0) AS s,
+         |           (h1.doc_id IS NOT NULL)::INT + (h2.doc_id IS NOT NULL)::INT
+         |             + (h3.doc_id IS NOT NULL)::INT AS m
+         |         FROM ids LEFT JOIN h1 USING (doc_id) LEFT JOIN h2 USING (doc_id)
+         |                  LEFT JOIN h3 USING (doc_id))
+         |SELECT doc_id, round(s, 6) AS score FROM hits WHERE m >= 2
+         |ORDER BY s DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q06_must_not" ->
+      s"""$base, h1 AS (${hits("query")}),
+         |hits AS (SELECT doc_id, s FROM h1
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM sc WHERE term = 'dup'))
+         |${top(10)}""".stripMargin,
+    "q07_filter" ->
+      s"""$base, h1 AS (${hits("merge")}),
+         |hits AS (SELECT h1.doc_id, h1.s FROM h1
+         |         JOIN (SELECT DISTINCT doc_id FROM sc WHERE term = 'sort') f USING (doc_id))
+         |${top(10)}""".stripMargin,
+    "q08_boost" ->
+      s"""$base,
+         |h1 AS (SELECT doc_id, (2.5 * idf) - (2.5 * idf) / (1.0 + freq * cn) AS s
+         |       FROM sc WHERE term = 'spark'),
+         |h2 AS (${hits("dup")}),
+         |ids AS (SELECT doc_id FROM h1 UNION SELECT doc_id FROM h2),
+         |hits AS (SELECT ids.doc_id, COALESCE(h1.s, 0) + COALESCE(h2.s, 0) AS s
+         |         FROM ids LEFT JOIN h1 USING (doc_id) LEFT JOIN h2 USING (doc_id))
+         |${top(10)}""".stripMargin,
+    "q09_dismax" ->
+      s"""$base, h1 AS (${hits("join")}), h2 AS (${hits("hash")}),
+         |ids AS (SELECT doc_id FROM h1 UNION SELECT doc_id FROM h2),
+         |hits AS (SELECT ids.doc_id,
+         |           greatest(h1.s, h2.s)
+         |             + 0.3 * ((COALESCE(h1.s, 0) + COALESCE(h2.s, 0)) - greatest(h1.s, h2.s)) AS s
+         |         FROM ids LEFT JOIN h1 USING (doc_id) LEFT JOIN h2 USING (doc_id))
+         |${top(10)}""".stripMargin,
+    "q10_prefix" ->
+      s"""$base, hits AS (SELECT DISTINCT doc_id, 1.0 AS s FROM sc WHERE term LIKE 'du%')
+         |${top(30)}""".stripMargin,
+    "q11_term_in_set" ->
+      s"""$base, hits AS (SELECT DISTINCT doc_id, 1.0 AS s FROM sc WHERE term IN ('dup', 'vector'))
+         |${top(30)}""".stripMargin,
+    "q12_match_all" ->
+      "SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id ASC LIMIT 5",
+    "q13_count_term" ->
+      s"$base SELECT count(*)::BIGINT AS cnt FROM sc WHERE term = 'spark'",
+    "q14_count_and" ->
+      s"""$base, h1 AS (${hits("spark")}), h2 AS (${hits("data")})
+         |SELECT count(*)::BIGINT AS cnt FROM h1 JOIN h2 USING (doc_id)""".stripMargin,
+    "q15_term_stats" ->
+      s"""$base SELECT term, count(*)::BIGINT AS df, CAST(sum(freq) AS BIGINT) AS ttf
+         |FROM tf WHERE term IN ('spark', 'join', 'dup', 'vector', 'merge')
+         |GROUP BY term ORDER BY term""".stripMargin,
+    "q16_norms" ->
+      s"""$base SELECT d.doc_id, COALESCE(dl.len, 0)::BIGINT AS len
+         |FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q17_sha" ->
+      "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+    "q18_search_after" ->
+      s"$base, hits AS (${hits("join")}) ${top(10, offset = 10)}"
+  )
 }

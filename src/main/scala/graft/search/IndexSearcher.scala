@@ -165,7 +165,7 @@ object SegmentKernel {
   * (global docIds encode (segment asc, localDoc asc), so the tie-break keys
   * are identical to `core/search/topdocs.go:33-110`).
   */
-final class IndexSearcher(index: BuiltIndex) extends Serializable {
+final class IndexSearcher(val index: BuiltIndex) extends Serializable {
 
   /** Resolve the query: normalize + expand PrefixQ against the dictionary. */
   def rewrite(spark: SparkSession, q0: Query): Query = {

@@ -113,6 +113,27 @@ object SparkEntry {
       val cursor = (page1.last.score, page1.last.docId)
       s.search(spark, q, 10, after = Some(cursor))
         .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+    }),
+    // RegexpQuery (AutomatonQuery): full-match against the term dictionary
+    "q19_regexp" -> topk(RegexpQ("s(p|t).*"), 30),
+    // TermRangeQuery: dictionary byte-order range [d, e)
+    "q20_term_range" -> topk(TermRangeQ(Some("d"), Some("e"), includeHi = false), 30),
+    // TopFieldCollector: matches sorted by a stored field (n_chars desc)
+    "q21_sort_by_field" -> ((spark: SparkSession, sfDir: String) => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      searcher(spark, sfDir)
+        .searchSortBy(spark, TermQ("dup"), docs.select("doc_id", "n_chars"),
+          Seq(col("n_chars").desc, col("doc_id").asc), 10)
+        .select("doc_id", "n_chars")
+    }),
+    // PointRangeQuery analogue: BM25 matches + numeric doc-value range filter
+    "q22_point_range" -> ((spark: SparkSession, sfDir: String) => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      searcher(spark, sfDir).scoreAll(spark, TermQ("dup")).toDF("doc_id", "s")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .where(col("n_chars").between(150, 300))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), round(col("s"), 6).as("score"))
     })
   )
 
@@ -225,6 +246,23 @@ object SparkEntry {
     "q17_sha" ->
       "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
     "q18_search_after" ->
-      s"$base, hits AS (${hits("join")}) ${top(10, offset = 10)}"
+      s"$base, hits AS (${hits("join")}) ${top(10, offset = 10)}",
+    "q19_regexp" ->
+      s"""$base, hits AS (SELECT DISTINCT doc_id, 1.0 AS s FROM sc
+         |                WHERE regexp_full_match(term, 's(p|t).*'))
+         |${top(30)}""".stripMargin,
+    "q20_term_range" ->
+      s"""$base, hits AS (SELECT DISTINCT doc_id, 1.0 AS s FROM sc
+         |                WHERE term >= 'd' AND term < 'e')
+         |${top(30)}""".stripMargin,
+    "q21_sort_by_field" ->
+      s"""$base, m AS (SELECT DISTINCT doc_id FROM sc WHERE term = 'dup')
+         |SELECT d.doc_id, d.n_chars FROM documents d JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10""".stripMargin,
+    "q22_point_range" ->
+      s"""$base, h1 AS (${hits("dup")}),
+         |hits AS (SELECT h1.doc_id, h1.s FROM h1 JOIN documents d ON h1.doc_id = d.doc_id
+         |         WHERE d.n_chars BETWEEN 150 AND 300)
+         |${top(10)}""".stripMargin
   )
 }

@@ -98,12 +98,44 @@ final class Analyzer(val stopSet: Set[String] = Set.empty) extends Serializable 
     * (standard chain has no overlaps, so `Length - NumOverlap = Length`;
     * reference `core/index/defaultindexingchain.go:845-865`,
     * `core/search/similaritybm25.go:111-123`).
+    *
+    * Allocation-lean streaming loop (no Token/Vector materialization): this
+    * runs once per document of the corpus — at 10^12 docs the per-token
+    * garbage of the pretty path would dominate build GC.
     */
+  def termFreqCounts(text: String): (java.util.HashMap[String, Int], Int) = {
+    val m = new java.util.HashMap[String, Int]()
+    if (text == null || text.isEmpty) return (m, 0)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    var inTok = false
+    var count = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (GoWhitespace.isSpace(cp)) {
+        if (inTok) {
+          val term = sb.toString
+          if (!stopSet.contains(term)) { m.merge(term, 1, (a, b) => a + b); count += 1 }
+          sb.setLength(0); inTok = false
+        }
+      } else {
+        inTok = true
+        sb.appendCodePoint(lowerCp(cp))
+      }
+      i += Character.charCount(cp)
+    }
+    if (inTok) {
+      val term = sb.toString
+      if (!stopSet.contains(term)) { m.merge(term, 1, (a, b) => a + b); count += 1 }
+    }
+    (m, count)
+  }
+
+  /** Scala-collection view of [[termFreqCounts]] (tests / non-hot callers). */
   def termFreqs(text: String): (collection.Map[String, Int], Int) = {
-    val ts = terms(text)
-    val m = scala.collection.mutable.HashMap.empty[String, Int]
-    ts.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
-    (m, ts.size)
+    val (m, len) = termFreqCounts(text)
+    (scala.jdk.CollectionConverters.MapHasAsScala(m).asScala, len)
   }
 }
 

@@ -7,23 +7,17 @@ import org.apache.spark.storage.StorageLevel
 import graft.analysis.Analyzer
 import graft.codec.ForBlock
 
-/** One analyzed row of the staging dataset.
-  * Posting rows: `term != null`, (freq, normByte) set, `sha == null`.
-  * Doc-sentinel rows (one per doc, emitted even for empty docs):
-  * `term == null`, `norm` = full field length, `sha` = sha256(content)
-  * (per-row invariant, BASELINE.json input_hint).
+/** One row of the stage-1 output (the per-chunk in-RAM segment flush,
+  * ≙ a DWPT flush, `core/index/documentswriterperthread.go:167-226`).
+  * Postings rows: `term != null`, blocks carry ≤ chunkDocs FOR-compressed
+  * postings of one (segment, term, salt). Doc-sentinel rows (one per doc,
+  * emitted even for empty docs): `term == null`, `norm` = field length,
+  * `sha` = sha256(content) (per-row invariant, BASELINE.json input_hint).
   */
-final case class TokRow(
-    segmentId: Int, salt: Int, term: String, localDoc: Int,
-    freq: Int, normByte: Int, norm: Int, sha: String)
-
-/** Partial postings of one (segment, term, salt) chunk — the per-partition
-  * sorted posting list of Phase A (≙ a DWPT's in-RAM segment,
-  * `core/index/documentswriterperthread.go`).
-  */
-final case class ChunkPostings(
+final case class Stage1Row(
     segmentId: Int, term: String, salt: Int,
-    docFreq: Int, totalTermFreq: Long, blocks: Array[PostingBlock])
+    docFreq: Int, totalTermFreq: Long, blocks: Array[PostingBlock],
+    localDoc: Int, norm: Int, sha: String)
 
 final case class DocMeta(segmentId: Int, docId: Long, norm: Int, sha: String)
 
@@ -31,21 +25,26 @@ final case class DocMeta(segmentId: Int, docId: Long, norm: Int, sha: String)
   *                      segment is the unit of independent query execution
   *                      (Lucene leaf ≙ Spark partition). Choose S so a
   *                      segment's postings fit comfortably in one task.
-  * @param chunkDocs     salt granularity: postings of one (segment, term) are
-  *                      first built per docId-chunk of this size, bounding
-  *                      every shuffle group even for stop-word-grade hot
-  *                      terms (north rule skew handling). Must be a multiple
-  *                      of PostingBlock.Size.
-  * @param outputPartitions shuffle width of the final merge/write (defaults
-  *                      to spark.sql.shuffle.partitions)
-  * @param stageCheckpoint write the analyzed staging dataset to parquet under
+  * @param chunkDocs     DWPT granularity AND salt: postings are first built
+  *                      per docId-chunk of this size, so (a) stage-1 tasks
+  *                      need memory for only one chunk at a time, (b) every
+  *                      stage-2 shuffle group holds ≤ segSize/chunkDocs
+  *                      block-rows even for stop-word-grade hot terms (north
+  *                      rule skew handling). Must be a multiple of
+  *                      PostingBlock.Size. Stage-1 parallelism ≈
+  *                      totalDocs/chunkDocs — keep it well above the core
+  *                      count of the cluster.
+  * @param outputPartitions shuffle width (defaults to
+  *                      spark.sql.shuffle.partitions)
+  * @param stageCheckpoint write the stage-1 chunk dataset to parquet under
   *                      the index dir instead of caching — the resumable
-  *                      path for large corpora
+  *                      path for large corpora (re-runs restart from the
+  *                      flushed chunks, not from raw text)
   * @param stopWords     analyzer stop set (reference default: empty)
   */
 final case class BuildConfig(
     numSegments: Int = 8,
-    chunkDocs: Int = 1 << 16,
+    chunkDocs: Int = 1 << 13,
     outputPartitions: Option[Int] = None,
     stageCheckpoint: Boolean = false,
     stopWords: Set[String] = Set.empty)
@@ -56,29 +55,44 @@ final case class BuildConfig(
   * file boundary, SURVEY.md §3.1):
   *
   *   Dataset[(docId, content)]
-  *     -> flatMap analyze            (≙ DefaultIndexingChain.processField)
-  *     -> repartition(seg,term,salt) + sortWithinPartitions + streaming
-  *        block encode               (≙ FreqProxTermsWriter flush; salted so
-  *                                     hot terms are bounded by chunkDocs)
-  *     -> repartitionByRange(seg,term) + ordered concat of chunk blocks
-  *                                   (≙ SegmentMerger, stub in the reference;
-  *                                     semantics: docIDs remapped by base,
-  *                                     stats summed)
-  *     -> parquet partitioned by segment, files sorted by term (plays the
-  *        FST term dictionary's role via parquet min/max data skipping)
+  *     -> repartition by docId-chunk + sortWithinPartitions(docId)
+  *        (co-locates each contiguous chunk; the ONLY shuffle that moves
+  *        raw text)
+  *     -> mapPartitions: analyze + in-memory invert per chunk, flush
+  *        FOR/varint posting blocks  (≙ DWPT + FreqProxTermsWriter flush;
+  *        everything downstream moves compressed blocks, not token rows)
+  *     -> repartition(segmentId, term) + sortWithinPartitions(seg, term,
+  *        salt) + ordered concat of chunk blocks   (≙ SegmentMerger, stub in
+  *        the reference; salt asc == docId asc, so concatenation preserves
+  *        the Lucene merge invariant; the salted pre-aggregation bounds
+  *        every shuffle group for hot terms)
+  *     -> parquet, files term-sorted within (parquet row-group min/max stats
+  *        on `term` play the FST term dictionary's role for query pushdown)
   *
-  * Every shuffle group is bounded: Phase A groups by (segment, term, salt)
-  * hold <= chunkDocs postings; Phase B groups hold <= segmentSize/chunkDocs
-  * chunk rows. No collect() anywhere; driver only sees per-segment stats.
+  * No collect() anywhere; the driver only sees per-segment stats.
   */
 object IndexBuilder {
 
   def indexFingerprint(inputPath: String, docCount: Long): String =
     sha256Hex(s"graft-index:$inputPath:$docCount")
 
+  // sha256 runs once PER DOCUMENT: reuse the digest per thread (getInstance
+  // is a contended provider lookup) and hex-encode via a char table (a
+  // per-byte "%02x".format would allocate a Formatter 32x per doc)
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-256"))
+  private val HEX = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = tlMd.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HEX(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Build (or load, if a manifest with a matching corpus fingerprint is
@@ -109,59 +123,76 @@ object IndexBuilder {
       docs.select(col(docIdCol).cast("long").as("_1"), col(contentCol).cast("string").as("_2"))
         .as[(Long, String)]
 
-    // one tiny agg to fix the segment geometry (driver-side scalars only)
+    var t0 = System.nanoTime()
+    def phase(name: String): Unit = {
+      val t1 = System.nanoTime()
+      System.err.println(f"[graft-build] phase=$name secs=${(t1 - t0) / 1e9}%.2f")
+      t0 = t1
+    }
+
+    // one tiny agg to fix the segment geometry (driver-side scalars only;
+    // reads only the id column — column pruning keeps text out of this scan)
     val (maxIdRow, docCount) = {
       val r = input.agg(max($"_1"), count(lit(1))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val segSize: Long = math.max(1L, (maxIdRow + cfg.numSegments) / cfg.numSegments)
+    // segment size rounded UP to a chunk multiple, so a chunk never crosses
+    // a segment boundary and chunkId == (segment, salt) 1:1
+    val segSize0: Long = math.max(1L, (maxIdRow + cfg.numSegments) / cfg.numSegments)
+    val segSize: Long = ((segSize0 + cfg.chunkDocs - 1) / cfg.chunkDocs) * cfg.chunkDocs
     require(segSize <= Int.MaxValue, "segment size must fit in Int (raise numSegments)")
+    phase("geometry")
 
     val analyzer = new Analyzer(cfg.stopWords)
     val chunkDocs = cfg.chunkDocs
     val segSizeL = segSize
+    val outParts = cfg.outputPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
 
-    val analyzed: Dataset[TokRow] = input.flatMap { case (docId, content) =>
-      val seg = (docId / segSizeL).toInt
-      val local = (docId - seg.toLong * segSizeL).toInt
-      val salt = local / chunkDocs
-      val (tf, len) = analyzer.termFreqs(content)
-      val nb = len & 0xFF
-      val sha = sha256Hex(if (content == null) "" else content)
-      tf.iterator.map { case (t, f) => TokRow(seg, salt, t, local, f, nb, 0, null) } ++
-        Iterator.single(TokRow(seg, salt, null, local, 0, 0, len, sha))
+    // ---- stage 1: per-chunk invert + block encode (≙ DWPT flush) --------
+    // Chunk never crosses a segment boundary (segSize is a chunk multiple),
+    // so partitioning by chunkId keeps every (segment, salt) group whole —
+    // a chunk split across tasks would emit two same-salt block rows whose
+    // merge order is nondeterministic, breaking the ascending-docId
+    // invariant. A MODULO partitioner (not hash) spreads the equal-sized
+    // chunks perfectly evenly — hash partitioning of ~3 chunks/partition
+    // gives binomial imbalance and stragglers. RDD drop-down is deliberate:
+    // repartitionAndSortWithinPartitions is the spillable shuffle-sort this
+    // stage needs (the survey's sanctioned per-partition imperative escape).
+    val numChunks = (segSizeL / chunkDocs) * cfg.numSegments
+    val stage1Parts = math.min(outParts.toLong, math.max(1L, numChunks)).toInt
+    val partitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = stage1Parts
+      def getPartition(key: Any): Int =
+        ((key.asInstanceOf[Long] / chunkDocs) % stage1Parts).toInt
     }
+    val chunkedRdd = input.rdd
+      .repartitionAndSortWithinPartitions(partitioner)
+      .mapPartitions(it => invertChunks(it, analyzer, segSizeL, chunkDocs))
+    val chunked: Dataset[Stage1Row] = spark.createDataset(chunkedRdd)
 
-    val staged: Dataset[TokRow] =
+    val staged: Dataset[Stage1Row] =
       if (cfg.stageCheckpoint) {
         val stagingDir = s"$indexDir/staging"
-        analyzed.write.mode("overwrite").parquet(stagingDir)
-        spark.read.parquet(stagingDir).as[TokRow]
-      } else analyzed.persist(StorageLevel.MEMORY_AND_DISK)
+        chunked.write.mode("overwrite").parquet(stagingDir)
+        spark.read.parquet(stagingDir).as[Stage1Row]
+      } else chunked.persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- doc metadata (norms + sha256 invariant) ----------------------
-    val docmeta = staged.filter(_.term == null)
+    // ---- doc metadata (norms + sha256 invariant), docId-sorted files ----
+    staged.filter(_.term == null)
       .map(r => DocMeta(r.segmentId, r.segmentId.toLong * segSizeL + r.localDoc, r.norm, r.sha))
-    docmeta.write.mode("overwrite").partitionBy("segmentId").parquet(s"$indexDir/docmeta")
+      .write.mode("overwrite").parquet(s"$indexDir/docmeta")
+    phase("stage1+docmeta")
 
-    // ---- Phase A: per-chunk posting blocks ----------------------------
-    val postingsRaw = staged.filter(_.term != null)
-    val outParts = cfg.outputPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
-    val chunks: Dataset[ChunkPostings] = postingsRaw
-      .repartition(outParts, $"segmentId", $"term", $"salt")
-      .sortWithinPartitions($"segmentId", $"term", $"salt", $"localDoc")
-      .mapPartitions(encodeChunks _)
-
-    // ---- Phase B: merge chunks into final per-segment posting lists ---
-    val merged: Dataset[TermPostings] = chunks
-      .repartitionByRange(outParts, $"segmentId", $"term")
+    // ---- stage 2: salted sort-merge of chunk blocks (≙ SegmentMerger) ---
+    val merged: Dataset[TermPostings] = staged.filter(_.term != null)
+      .repartition(outParts, $"segmentId", $"term")
       .sortWithinPartitions($"segmentId", $"term", $"salt")
       .mapPartitions(mergeChunks _)
-
-    merged.write.mode("overwrite").partitionBy("segmentId").parquet(s"$indexDir/postings")
+    merged.write.mode("overwrite").parquet(s"$indexDir/postings")
     if (!cfg.stageCheckpoint) staged.unpersist()
+    phase("stage2-merge")
 
-    // ---- stats + manifest (small aggs; driver holds only S rows) ------
+    // ---- stats + manifest (small aggs; driver holds only S rows) --------
     val postingsDf = spark.read.parquet(s"$indexDir/postings")
     val segPostStats = postingsDf
       .groupBy($"segmentId")
@@ -173,6 +204,7 @@ object IndexBuilder {
       .groupBy($"segmentId")
       .agg(count(lit(1)).as("docCount"), sum(when($"norm" > 0, 1L).otherwise(0L)).as("fieldDocCount"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    phase("stats")
 
     val segs = segDocStats.keys.toSeq.sorted.map { sid =>
       val (dc, fdc) = segDocStats(sid)
@@ -191,33 +223,89 @@ object IndexBuilder {
       numSegments = cfg.numSegments,
       segmentSize = segSize,
       stats = stats, segments = segs,
-      corpusSha = indexFingerprint(inputPath, docCount))
+      corpusSha = indexFingerprint(inputPath, docCount),
+      postingsBytes = IndexIO.dirBytes(spark, s"$indexDir/postings"),
+      docmetaBytes = IndexIO.dirBytes(spark, s"$indexDir/docmeta"))
     IndexIO.writeManifest(spark, indexDir, manifest)
+    phase("manifest")
     new BuiltIndex(indexDir, manifest)
   }
 
-  /** Streaming chunk encoder: input iterator sorted by (seg, term, salt,
-    * localDoc); constant memory per (seg, term, salt) group (<= chunkDocs).
+  /** Streaming per-chunk invert: input iterator sorted by docId; one
+    * in-memory TermsHash per (segment, salt) chunk (≙ the DWPT's
+    * `TermsHashPerField`, `core/index/termshashperfield.go:245-267`), flushed
+    * as FOR-compressed blocks when the chunk boundary passes. Memory is
+    * bounded by one chunk's postings regardless of corpus size.
     */
-  private def encodeChunks(it: Iterator[TokRow]): Iterator[ChunkPostings] = {
-    new Iterator[ChunkPostings] {
-      private val buf = it.buffered
-      def hasNext: Boolean = buf.hasNext
-      def next(): ChunkPostings = {
-        val h = buf.head
-        val (seg, term, salt) = (h.segmentId, h.term, h.salt)
-        val docs = Array.newBuilder[Int]
-        val freqs = Array.newBuilder[Int]
-        val norms = Array.newBuilder[Byte]
-        var n = 0
-        var ttf = 0L
-        while (buf.hasNext && buf.head.segmentId == seg && buf.head.term == term && buf.head.salt == salt) {
-          val r = buf.next()
-          docs += r.localDoc; freqs += r.freq; norms += r.normByte.toByte
-          ttf += r.freq; n += 1
+  /** Growable primitive posting buffer — no per-append boxing (the build's
+    * hottest allocation site: one append per (doc, distinct term)). */
+  private final class TermBuf {
+    var docs = new Array[Int](8)
+    var freqs = new Array[Int](8)
+    var norms = new Array[Byte](8)
+    var n = 0
+    def add(doc: Int, freq: Int, norm: Byte): Unit = {
+      if (n == docs.length) {
+        val cap = n << 1
+        docs = java.util.Arrays.copyOf(docs, cap)
+        freqs = java.util.Arrays.copyOf(freqs, cap)
+        norms = java.util.Arrays.copyOf(norms, cap)
+      }
+      docs(n) = doc; freqs(n) = freq; norms(n) = norm; n += 1
+    }
+  }
+
+  private def invertChunks(it: Iterator[(Long, String)], analyzer: Analyzer,
+                           segSize: Long, chunkDocs: Int): Iterator[Stage1Row] = {
+    new Iterator[Stage1Row] {
+      private val in = it.buffered
+      private var out: Iterator[Stage1Row] = Iterator.empty
+
+      private def flushChunk(): Iterator[Stage1Row] = {
+        // consume all docs of the chunk that starts at the head's (seg, salt)
+        val headId = in.head._1
+        val seg = (headId / segSize).toInt
+        val salt = ((headId - seg.toLong * segSize) / chunkDocs).toInt
+        val terms = new java.util.HashMap[String, TermBuf]()
+        val docRows = Vector.newBuilder[Stage1Row]
+        var continue = true
+        while (continue && in.hasNext) {
+          val (docId, content) = in.head
+          val s = (docId / segSize).toInt
+          val local = (docId - s.toLong * segSize).toInt
+          if (s != seg || local / chunkDocs != salt) continue = false
+          else {
+            in.next()
+            val (tf, len) = analyzer.termFreqCounts(content)
+            val nb = (len & 0xFF).toByte
+            val tfIt = tf.entrySet().iterator()
+            while (tfIt.hasNext) {
+              val e = tfIt.next()
+              var b = terms.get(e.getKey)
+              if (b == null) { b = new TermBuf; terms.put(e.getKey, b) }
+              b.add(local, e.getValue, nb)
+            }
+            docRows += Stage1Row(seg, null, salt, 0, 0L, null, local, len,
+              sha256Hex(if (content == null) "" else content))
+          }
         }
-        ChunkPostings(seg, term, salt, n, ttf,
-          buildBlocks(docs.result(), freqs.result(), norms.result()))
+        val postRows = new scala.collection.mutable.ArrayBuffer[Stage1Row](terms.size)
+        terms.forEach { (t, b) =>
+          var ttf = 0L
+          var j = 0
+          while (j < b.n) { ttf += b.freqs(j); j += 1 }
+          val docsA = java.util.Arrays.copyOf(b.docs, b.n)
+          val freqsA = java.util.Arrays.copyOf(b.freqs, b.n)
+          val normsA = java.util.Arrays.copyOf(b.norms, b.n)
+          postRows += Stage1Row(seg, t, salt, b.n, ttf, buildBlocks(docsA, freqsA, normsA), -1, 0, null)
+        }
+        postRows.iterator ++ docRows.result().iterator
+      }
+
+      def hasNext: Boolean = out.hasNext || in.hasNext
+      def next(): Stage1Row = {
+        if (!out.hasNext) out = flushChunk()
+        out.next()
       }
     }
   }
@@ -241,11 +329,11 @@ object IndexBuilder {
     out.result()
   }
 
-  /** Streaming merge: chunks sorted by (seg, term, salt); salt order ==
+  /** Streaming merge: chunk rows sorted by (seg, term, salt); salt order ==
     * docId order (salt = localDoc / chunkDocs), so concatenating block
     * arrays preserves ascending docIds — the Lucene merge invariant.
     */
-  private def mergeChunks(it: Iterator[ChunkPostings]): Iterator[TermPostings] = {
+  private def mergeChunks(it: Iterator[Stage1Row]): Iterator[TermPostings] = {
     new Iterator[TermPostings] {
       private val buf = it.buffered
       def hasNext: Boolean = buf.hasNext

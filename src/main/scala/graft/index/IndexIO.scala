@@ -16,6 +16,14 @@ object IndexIO {
     Seq(m).toDS().coalesce(1).write.mode("overwrite").parquet(manifestPath(indexDir))
   }
 
+  /** Total on-disk bytes under a path (works on any Hadoop FS, not just
+    * local — the bytes-written build metric per the north rule). */
+  def dirBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
   def readManifest(spark: SparkSession, indexDir: String): Option[Manifest] = {
     import spark.implicits._
     try {

@@ -93,5 +93,7 @@ final case class Manifest(
     segmentSize: Long, // contiguous docId range per segment; docBase = segmentId * segmentSize
     stats: IndexStats,
     segments: Seq[SegmentMeta],
-    corpusSha: String
+    corpusSha: String,
+    postingsBytes: Long = 0L, // on-disk size of the postings parquet (north-rule metric)
+    docmetaBytes: Long = 0L
 )

@@ -18,6 +18,9 @@ final case class QueryContext(
 
 final case class ScoredDoc(docId: Long, score: Double)
 
+/** One hit of a batch multi-query run (see [[IndexSearcher.searchMany]]). */
+final case class QueryHit(queryId: String, docId: Long, score: Double)
+
 /** Builds the scorer tree for one segment — the Boolean2ScorerSupplier
   * decision tree (`core/search/boolean2scorersupplier.go:74-135`):
   * pure conjunction => req(); pure disjunction => opt() (WAND when pruning
@@ -29,14 +32,14 @@ object ScorerBuilder {
     *                       pass () => Double.NegativeInfinity for exhaustive
     * @return None when the query matches nothing in this segment
     */
-  def build(q: Query, postings: Map[String, TermPostings], segDocCount: Int,
+  def build(q: Query, postings: Map[String, TermReader], segDocCount: Int,
             ctx: QueryContext, boost: Double, scoring: Boolean,
             minCompetitive: () => Double): Option[Scorer] = q match {
     case MatchNoneQ => None
     case MatchAllQ => Some(new RangeAllScorer(segDocCount, if (scoring) boost else 0.0))
     case TermQ(t) =>
-      postings.get(t).map { tp =>
-        new PostingsScorer(tp.blocks, boost * ctx.idf.getOrElse(t, 0.0), ctx.cache, scoring)
+      postings.get(t).map { rd =>
+        new PostingsScorer(rd, boost * ctx.idf.getOrElse(t, 0.0), ctx.cache, scoring)
       }
     case BoostQ(sub, b) => build(sub, postings, segDocCount, ctx, boost * b, scoring, minCompetitive)
     case ConstQ(sub, b) =>
@@ -44,7 +47,7 @@ object ScorerBuilder {
         .map(inner => new ConstantScoreScorer(inner, if (scoring) boost * b else 0.0))
     case TermInSetQ(ts) =>
       val subs = ts.toArray.flatMap(t => postings.get(t))
-        .map(tp => new PostingsScorer(tp.blocks, 0.0, ctx.cache, scoring = false): Scorer)
+        .map(rd => new PostingsScorer(rd, 0.0, ctx.cache, scoring = false): Scorer)
       if (subs.isEmpty) None
       else {
         val union = if (subs.length == 1) subs(0) else new DisjunctionSumScorer(subs, 1)
@@ -55,14 +58,14 @@ object ScorerBuilder {
       if (subs.isEmpty) None
       else if (subs.length == 1) Some(subs(0))
       else Some(new DisjunctionMaxScorer(subs, tb))
-    case PrefixQ(_) =>
-      throw new IllegalStateException("PrefixQ must be rewritten against the term dictionary before scoring")
+    case _: PrefixQ | _: RegexpQ | _: TermRangeQ =>
+      throw new IllegalStateException("multi-term queries must be rewritten against the term dictionary before scoring")
     case b: BoolQ => buildBool(b, postings, segDocCount, ctx, boost, scoring, minCompetitive)
   }
 
   private val neverPrune: () => Double = () => Double.NegativeInfinity
 
-  private def buildBool(b: BoolQ, postings: Map[String, TermPostings], segDocCount: Int,
+  private def buildBool(b: BoolQ, postings: Map[String, TermReader], segDocCount: Int,
                         ctx: QueryContext, boost: Double, scoring: Boolean,
                         minCompetitive: () => Double): Option[Scorer] = {
     // required clauses: every MUST/FILTER must produce a scorer
@@ -114,7 +117,7 @@ object ScorerBuilder {
   * `IndexSearcher.SearchLeaves`, `core/search/indexsearcher.go:376-392`).
   */
 object SegmentKernel {
-  def topK(q: Query, postings: Map[String, TermPostings], seg: SegmentMeta,
+  def topK(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
            ctx: QueryContext, k: Int, after: Option[(Double, Long)]): Iterator[ScoredDoc] = {
     val collector = new TopKCollector(k, seg.docBase, after)
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = true,
@@ -130,7 +133,7 @@ object SegmentKernel {
     }
   }
 
-  def count(q: Query, postings: Map[String, TermPostings], seg: SegmentMeta,
+  def count(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
             ctx: QueryContext): Long = {
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = false,
         () => Double.NegativeInfinity) match {
@@ -144,7 +147,7 @@ object SegmentKernel {
   }
 
   /** All matching docs with scores (exhaustive; for oracles & set ops). */
-  def scoreAll(q: Query, postings: Map[String, TermPostings], seg: SegmentMeta,
+  def scoreAll(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
                ctx: QueryContext): Iterator[ScoredDoc] = {
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = true,
         () => Double.NegativeInfinity) match {
@@ -167,6 +170,10 @@ object SegmentKernel {
   */
 final class IndexSearcher(val index: BuiltIndex) extends Serializable {
 
+  /** One shared decoded reader per term per partition (executor-side). */
+  private def readers(post: Map[String, TermPostings], ctx: QueryContext): Map[String, TermReader] =
+    post.map { case (t, tp) => t -> new TermReader(tp, ctx.cache) }
+
   /** Resolve the query: normalize + expand PrefixQ against the dictionary. */
   def rewrite(spark: SparkSession, q0: Query): Query = {
     val q1 = Query.normalize(q0)
@@ -174,13 +181,25 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     Query.normalize(expanded)
   }
 
+  /** Distinct dictionary terms matching a predicate (predicate pushdown to
+    * the term-sorted parquet does the FST seek's job). */
+  private def dictTerms(spark: SparkSession, pred: org.apache.spark.sql.Column): Set[String] = {
+    import spark.implicits._
+    index.postings(spark).select("term").where(pred).distinct().as[String].collect().toSet
+  }
+
   private def expandPrefixes(spark: SparkSession, q: Query): Query = q match {
     case PrefixQ(p) =>
-      import spark.implicits._
       // term-dictionary scan with pushdown (StartsWith reaches parquet)
-      val ts = index.postings(spark).select("term").where(col("term").startsWith(p))
-        .distinct().as[String].collect().toSet
-      ConstQ(TermInSetQ(ts), 1.0)
+      ConstQ(TermInSetQ(dictTerms(spark, col("term").startsWith(p))), 1.0)
+    case RegexpQ(p) =>
+      // anchored full-match, as Lucene's RegexpQuery automaton semantics
+      ConstQ(TermInSetQ(dictTerms(spark, col("term").rlike(s"^(?:$p)$$"))), 1.0)
+    case TermRangeQ(lo, hi, incLo, incHi) =>
+      val loP = lo.map(v => if (incLo) col("term") >= v else col("term") > v)
+      val hiP = hi.map(v => if (incHi) col("term") <= v else col("term") < v)
+      val pred = (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      ConstQ(TermInSetQ(dictTerms(spark, pred)), 1.0)
     case BoolQ(m, s, f, n, msm) =>
       BoolQ(m.map(expandPrefixes(spark, _)), s.map(expandPrefixes(spark, _)),
         f.map(expandPrefixes(spark, _)), n.map(expandPrefixes(spark, _)), msm)
@@ -188,6 +207,20 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     case ConstQ(sub, b) => ConstQ(expandPrefixes(spark, sub), b)
     case DisjMaxQ(qs, tb) => DisjMaxQ(qs.map(expandPrefixes(spark, _)), tb)
     case other => other
+  }
+
+  /** Sort-by-field top-k — the TopFieldCollector/FieldValueHitQueue analogue
+    * (`core/search/topfieldcollector.go:14-50`): every match joined to a
+    * field table (the "doc values"), then `orderBy(sortCols).limit(k)` —
+    * Catalyst's TakeOrderedAndProject IS the bounded field-value heap.
+    * `fields` must carry a `doc_id` column; numeric/range predicates on it
+    * get parquet pushdown (the PointRangeQuery ≡ `between` mapping of
+    * SURVEY.md §2.4).
+    */
+  def searchSortBy(spark: SparkSession, q0: Query, fields: DataFrame,
+                   sortCols: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
+    val matches = scoreAll(spark, q0).toDF("doc_id", "score")
+    matches.join(fields, "doc_id").orderBy(sortCols: _*).limit(k)
   }
 
   /** Global term statistics for the query terms: sum over segments, pushed
@@ -220,16 +253,59 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     val q = rewrite(spark, q0)
     val ctx = queryContext(spark, q)
     val perLeaf = runLeaves(spark, q) { (seg, post) =>
-      SegmentKernel.topK(q, post, seg, ctx, k, after)
+      SegmentKernel.topK(q, readers(post, ctx), seg, ctx, k, after)
     }
     perLeaf.orderBy($"score".desc, $"docId".asc).limit(k).as[ScoredDoc]
+  }
+
+  /** Batch execution of a whole query set in ONE distributed job — the
+    * throughput shape for cluster-scale workloads (thousands of queries over
+    * 10^12 docs): postings for the union of all query terms are read once,
+    * every segment scores every query inside one cogroup pass, and per-query
+    * top-k merge happens in a tiny final aggregation (numSegments * k rows
+    * per query). QPS scales with executors because the (segment x query)
+    * work distributes evenly; per-query Spark job scheduling overhead is
+    * paid once for the set, not once per query.
+    *
+    * Rank-identity: same kernels, same tie-break (score desc, global docId
+    * asc) as [[search]].
+    */
+  def searchMany(spark: SparkSession, queries: Seq[(String, Query)], k: Int): Dataset[QueryHit] = {
+    import spark.implicits._
+    val normed = queries.map { case (id, q) => id -> rewrite(spark, q) }
+    val allTerms = normed.flatMap(_._2.terms).toSet
+    // one parquet read serves both the stats job and the kernel job
+    val rows = postingRows(spark, allTerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = rows.groupBy("term")
+        .agg(sum("docFreq").as("df"), sum("totalTermFreq").as("ttf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = index.stats.fieldDocCount
+      val ctx = QueryContext(
+        stats.map { case (t, df) => t -> Bm25.idf(df, n) },
+        Bm25.buildCache(index.stats.avgdl), n)
+      val perLeaf: Dataset[QueryHit] = runSegments(spark, rows) { (seg, post) =>
+        val rds = readers(post, ctx) // decode memo shared across ALL queries of the batch
+        normed.iterator.flatMap { case (id, q) =>
+          SegmentKernel.topK(q, rds, seg, ctx, k, None)
+            .map(sd => QueryHit(id, sd.docId, sd.score))
+        }
+      }
+      // per-query merge ≡ MergeTopDocs; the result is small by construction
+      // (≤ queries×k rows), so materialize eagerly and release the cache
+      val merged = perLeaf.groupByKey(_.queryId).flatMapGroups { (_, hits) =>
+        hits.toArray.sortBy(h => (-h.score, h.docId)).take(k).iterator
+      }.collect()
+      spark.createDataset(merged.toSeq)
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Exhaustive (doc, score) stream for every match — oracle/verify path. */
   def scoreAll(spark: SparkSession, q0: Query): Dataset[ScoredDoc] = {
     val q = rewrite(spark, q0)
     val ctx = queryContext(spark, q)
-    runLeaves(spark, q)((seg, post) => SegmentKernel.scoreAll(q, post, seg, ctx))
+    runLeaves(spark, q)((seg, post) => SegmentKernel.scoreAll(q, readers(post, ctx), seg, ctx))
   }
 
   /** Hit count with the reference's O(1) shortcuts
@@ -245,7 +321,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
         val ctx = queryContext(spark, q)
         val segsDs = spark.createDataset(index.manifest.segments)
         cogroupLeaves(spark, segsDs, q)((seg, post) =>
-          Iterator.single(SegmentKernel.count(q, post, seg, ctx)))
+          Iterator.single(SegmentKernel.count(q, readers(post, ctx), seg, ctx)))
           .reduce(_ + _)
     }
   }
@@ -261,22 +337,56 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     * Only the query terms' rows move (parquet term pushdown), so the shuffle
     * is |queryTerms| x |segments| rows regardless of corpus size.
     */
-  private def cogroupLeaves[T: org.apache.spark.sql.Encoder](
+  private def cogroupLeaves[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
       spark: SparkSession, segsDs: Dataset[SegmentMeta], q: Query)(
-      kernel: (SegmentMeta, Map[String, TermPostings]) => Iterator[T]): Dataset[T] = {
+      kernel: (SegmentMeta, Map[String, TermPostings]) => Iterator[T]): Dataset[T] =
+    runSegments(spark, postingRows(spark, q.terms))(kernel)
+
+  /** Query-term posting rows: only the query terms' rows leave the parquet
+    * scan (term pushdown), so the shuffle is |terms| x |segments| rows
+    * regardless of corpus size.
+    */
+  private def postingRows(spark: SparkSession, terms: Set[String]): Dataset[TermPostings] = {
     import spark.implicits._
-    val terms = q.terms
-    val rows: Dataset[TermPostings] =
-      if (terms.isEmpty) spark.emptyDataset[TermPostings]
-      else index.postings(spark).where(col("term").isin(terms.toSeq: _*)).as[TermPostings]
-    segsDs.groupByKey(_.segmentId)
-      .cogroup(rows.groupByKey(_.segmentId)) { (_, segIt, postIt) =>
-        segIt.toSeq.headOption match {
-          case None => Iterator.empty
-          case Some(seg) =>
-            val post = postIt.map(tp => tp.term -> tp).toMap
-            kernel(seg, post)
-        }
+    if (terms.isEmpty) spark.emptyDataset[TermPostings]
+    else index.postings(spark).where(col("term").isin(terms.toSeq: _*)).as[TermPostings]
+  }
+
+  /** Run a per-segment kernel with EXACTLY one segment per task, via an
+    * explicit modulo partitioner. (A hash cogroup of S segment-groups into S
+    * partitions is a balls-in-bins collision — some tasks get 3-4 segments
+    * while others idle, capping scaling at ~1/maxLoad.) Segment metadata is
+    * tiny and rides in the closure; sentinel rows guarantee every segment's
+    * partition runs the kernel even when no query term occurs in it
+    * (MatchAllDocs must still match there).
+    */
+  private def runSegments[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
+      spark: SparkSession, rows: Dataset[TermPostings])(
+      kernel: (SegmentMeta, Map[String, TermPostings]) => Iterator[T]): Dataset[T] = {
+    val segMetas = index.manifest.segments.map(s => s.segmentId -> s).toMap
+    val maxSeg = segMetas.keys.max
+    val nParts = maxSeg + 1
+    val partitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = nParts
+      def getPartition(key: Any): Int = key.asInstanceOf[Int] % nParts
+    }
+    val sentinels = spark.sparkContext
+      .parallelize(segMetas.keys.toSeq, math.min(nParts, 32))
+      .map(sid => (sid, null: TermPostings))
+    val parted = rows.rdd.map(tp => (tp.segmentId, tp))
+      .union(sentinels)
+      .partitionBy(partitioner)
+    val out = parted.mapPartitions { it =>
+      // one segment per partition by construction
+      var seg: SegmentMeta = null
+      val post = Map.newBuilder[String, TermPostings]
+      var any = false
+      it.foreach { case (sid, tp) =>
+        if (!any) { seg = segMetas(sid); any = true }
+        if (tp != null) post += (tp.term -> tp)
       }
+      if (!any) Iterator.empty else kernel(seg, post.result())
+    }
+    spark.createDataset(out)
   }
 }

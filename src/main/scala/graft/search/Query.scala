@@ -45,6 +45,15 @@ final case class DisjMaxQ(qs: Seq[Query], tieBreak: Double) extends Query
   * CONSTANT_SCORE rewrite; the reference's PrefixQuery is an empty stub,
   * `core/search/prefixquery.go:3`, so Lucene 8.11 semantics apply). */
 final case class PrefixQ(prefix: String) extends Query
+/** AutomatonQuery analogue (`core/search/automatonquery.go:26-126`): full
+  * regex match against the term dictionary, rewritten to a constant-score
+  * TermInSet (MultiTermQuery CONSTANT_SCORE rewrite). */
+final case class RegexpQ(pattern: String) extends Query
+/** TermRangeQuery (stub in the reference, `core/search/termrangequery.go:3`;
+  * Lucene 8.11 semantics): byte-order term range over the dictionary,
+  * constant score. `None` bound = open. */
+final case class TermRangeQ(lo: Option[String], hi: Option[String],
+                            includeLo: Boolean = true, includeHi: Boolean = true) extends Query
 
 object Query {
   /** Fixed-point normalization replicating the BooleanQuery rewrites

@@ -21,56 +21,106 @@ trait Scorer {
   def maxScore: Double
 }
 
-/** Posting-list scorer: decodes FOR blocks lazily, one block at a time;
+/** Shared, read-only decoded view of one term's posting list within one
+  * segment. Created ONCE per (partition, term) and reused by every query of
+  * a batch: block decode and impact maxima are memoized here, so a
+  * 6000-query batch decodes each block once instead of 6000 times (the
+  * per-query [[PostingsScorer]] holds only cursor state).
+  *
+  * `blockG`/`maxG` memoize the weight-independent BM25 factor
+  * g(f, n) = 1 - 1/(1 + f·cache[n]), valid for every query of a batch
+  * because the norm cache depends only on global avgdl. Pruning BOUNDS are
+  * then weight·g — NOT the exact score path (which keeps the reference's
+  * exact `w - w/(1+f·c)` op order) — so they are inflated by [[TermReader.BoundPad]]
+  * to stay a true upper bound under fp reassociation; safe pruning is all
+  * WAND needs for rank identity.
+  */
+final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
+  import graft.index.PostingBlock
+  val blocks: Array[PostingBlock] = tp.blocks
+  private val memoDocs = new Array[Array[Long]](blocks.length)
+  private val memoFreqs = new Array[Array[Long]](blocks.length)
+  private val memoG = {
+    val a = new Array[Double](blocks.length)
+    java.util.Arrays.fill(a, Double.NaN)
+    a
+  }
+
+  val cost: Long = { var s = 0L; var j = 0; while (j < blocks.length) { s += blocks(j).count; j += 1 }; s }
+
+  def docsOf(bi: Int): Array[Long] = {
+    var d = memoDocs(bi)
+    if (d == null) { d = ForBlock.decode(blocks(bi).docBytes); memoDocs(bi) = d }
+    d
+  }
+
+  def freqsOf(bi: Int): Array[Long] = {
+    var f = memoFreqs(bi)
+    if (f == null) { f = ForBlock.decode(blocks(bi).freqBytes); memoFreqs(bi) = f }
+    f
+  }
+
+  /** max over the block's (freq, norm) impacts of g(f, n). */
+  def blockG(bi: Int): Double = {
+    var m = memoG(bi)
+    if (m.isNaN) {
+      m = 0.0
+      val blk = blocks(bi)
+      var p = 0
+      while (p < blk.impactFreqs.length) {
+        val g = 1.0 - 1.0 / (1.0 + blk.impactFreqs(p).toDouble * cache(blk.impactNorms(p)))
+        if (g > m) m = g
+        p += 1
+      }
+      memoG(bi) = m
+    }
+    m
+  }
+
+  lazy val maxG: Double = {
+    var m = 0.0; var j = 0
+    while (j < blocks.length) { val g = blockG(j); if (g > m) m = g; j += 1 }
+    m
+  }
+}
+
+object TermReader {
+  /** 4-ulp inflation making weight·g a certain upper bound of the exact
+    * `w - w/(1+f·c)` despite reassociation. */
+  val BoundPad: Double = 1.0 + 4e-16
+}
+
+/** Posting-list scorer over a shared [[TermReader]]: per-query cursor only.
   * `advance` binary-searches block maxDocs (the skip list's role,
   * `core/index/multilevelskiplistwriter.go`) then binary-searches in-block.
   * Scoring per `core/search/termscorer.go:51-62` + `similaritybm25.go:235-246`.
   */
 final class PostingsScorer(
-    blocks: Array[PostingBlock],
+    reader: TermReader,
     weight: Double,
     cache: Array[Double],
     scoring: Boolean) extends Scorer {
 
+  private val blocks = reader.blocks
   private var bi = -1
   private var i = -1
   private var docs: Array[Long] = _
   private var freqs: Array[Long] = _
   private var norms: Array[Byte] = _
   private var cur = -1
-  private val blockMaxMemo = new Array[Double](blocks.length)
-  java.util.Arrays.fill(blockMaxMemo, Double.NaN)
 
-  val cost: Long = { var s = 0L; var j = 0; while (j < blocks.length) { s += blocks(j).count; j += 1 }; s }
+  def cost: Long = reader.cost
 
-  lazy val maxScore: Double = {
-    if (!scoring) 0.0
-    else { var m = 0.0; var j = 0; while (j < blocks.length) { val b = blockMax(j); if (b > m) m = b; j += 1 }; m }
-  }
+  lazy val maxScore: Double =
+    if (!scoring) 0.0 else weight * reader.maxG * TermReader.BoundPad
 
-  private def blockMax(j: Int): Double = {
-    var m = blockMaxMemo(j)
-    if (m.isNaN) {
-      m = 0.0
-      val blk = blocks(j)
-      var p = 0
-      while (p < blk.impactFreqs.length) {
-        val s = Bm25.score(weight, blk.impactFreqs(p), blk.impactNorms(p), cache)
-        if (s > m) m = s
-        p += 1
-      }
-      blockMaxMemo(j) = m
-    }
-    m
-  }
-
-  /** Max score of the block that covers `target` (without decoding it) —
-    * the `advanceShallow`/`MaxScoreCache` analogue (`core/search/impactsdisi.go`).
-    * Returns 0 if exhausted.
+  /** Upper bound of score() within the block covering `target` (without
+    * decoding it) — the `advanceShallow`/`MaxScoreCache` analogue
+    * (`core/search/impactsdisi.go`). Returns 0 if exhausted.
     */
   def blockMaxScoreUpTo(target: Int): Double = {
     val j = findBlock(math.max(bi, 0), target)
-    if (j >= blocks.length) 0.0 else blockMax(j)
+    if (j >= blocks.length) 0.0 else weight * reader.blockG(j) * TermReader.BoundPad
   }
 
   private def findBlock(from: Int, target: Int): Int = {
@@ -85,10 +135,9 @@ final class PostingsScorer(
   }
 
   private def loadBlock(): Unit = {
-    val b = blocks(bi)
-    docs = ForBlock.decode(b.docBytes)
-    freqs = if (scoring) ForBlock.decode(b.freqBytes) else null
-    norms = if (scoring) b.norms else null
+    docs = reader.docsOf(bi)
+    freqs = if (scoring) reader.freqsOf(bi) else null
+    norms = if (scoring) blocks(bi).norms else null
   }
 
   def docId: Int = cur
@@ -419,40 +468,66 @@ final class DisjunctionMaxScorer(subs: Array[Scorer], tieBreak: Double) extends 
   * (`PagingTopScoreDocCollector`, `topscoredoccollector.go:243-340`).
   */
 final class TopKCollector(k: Int, docBase: Long, after: Option[(Double, Long)]) {
-  // min-heap: head = weakest hit (lowest score; among equal, largest docId)
-  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-    def compare(a: (Double, Long), b: (Double, Long)): Int = {
-      val c = java.lang.Double.compare(b._1, a._1) // lower score = "greater" (worse)
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // larger docId = worse
+  // primitive parallel-array min-heap (no per-hit boxing — a batch run
+  // creates one collector per (query, segment), so allocation here is hot):
+  // root = weakest hit (lowest score; among equal, largest docId)
+  private val hScore = new Array[Double](k)
+  private val hDoc = new Array[Long](k)
+  private var size = 0
+  var collected: Long = 0L
+  private val hasAfter = after.isDefined
+  private val afterScore = after.map(_._1).getOrElse(0.0)
+  private val afterDoc = after.map(_._2).getOrElse(0L)
+
+  def minCompetitive: Double = if (size >= k) hScore(0) else Double.NegativeInfinity
+
+  // a is "worse" than b if lower score, or equal score and larger docId
+  @inline private def worse(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && d1 > d2)
+
+  private def siftDown(): Unit = {
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var m = i
+      if (l < size && worse(hScore(l), hDoc(l), hScore(m), hDoc(m))) m = l
+      if (r < size && worse(hScore(r), hDoc(r), hScore(m), hDoc(m))) m = r
+      if (m == i) return
+      val ts = hScore(i); hScore(i) = hScore(m); hScore(m) = ts
+      val td = hDoc(i); hDoc(i) = hDoc(m); hDoc(m) = td
+      i = m
     }
   }
-  private val pq = collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
-  var collected: Long = 0L
 
-  def minCompetitive: Double =
-    if (pq.size >= k) pq.head._1 else Double.NegativeInfinity
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    while (i > 0) {
+      val p = (i - 1) >>> 1
+      if (!worse(hScore(i), hDoc(i), hScore(p), hDoc(p))) return
+      val ts = hScore(i); hScore(i) = hScore(p); hScore(p) = ts
+      val td = hDoc(i); hDoc(i) = hDoc(p); hDoc(p) = td
+      i = p
+    }
+  }
 
   def collect(localDoc: Int, score: Double): Unit = {
     collected += 1
     val gid = docBase + localDoc
-    val pass = after match {
-      case Some((s0, d0)) => score < s0 || (score == s0 && gid > d0)
-      case None => true
-    }
-    if (pass) {
-      if (pq.size < k) pq.enqueue((score, gid))
-      else {
-        val h = pq.head
-        if (score > h._1 || (score == h._1 && gid < h._2)) { pq.dequeue(); pq.enqueue((score, gid)) }
-      }
+    if (hasAfter && !(score < afterScore || (score == afterScore && gid > afterDoc))) return
+    if (size < k) {
+      hScore(size) = score; hDoc(size) = gid; size += 1
+      siftUp(size - 1)
+    } else if (score > hScore(0) || (score == hScore(0) && gid < hDoc(0))) {
+      hScore(0) = score; hDoc(0) = gid
+      siftDown()
     }
   }
 
+  /** Hits ordered score desc, docId asc. */
   def results: Array[(Long, Double)] = {
-    val all = pq.dequeueAll.toArray // worst-first
-    val out = new Array[(Long, Double)](all.length)
-    var j = 0
-    while (j < all.length) { val (s, d) = all(all.length - 1 - j); out(j) = (d, s); j += 1 }
-    out
+    val idx = Array.range(0, size)
+    val sorted = idx.sortBy(j => (-hScore(j), hDoc(j)))
+    sorted.map(j => (hDoc(j), hScore(j)))
   }
 }

@@ -76,6 +76,12 @@ object Oracle {
       val ss = qs.flatMap(eval(_, tf, normByte, ctx, boost, scoring))
       if (ss.isEmpty) None else Some(ss.max + tb * (ss.sum - ss.max))
     case PrefixQ(p) => if (tf.keys.exists(_.startsWith(p))) Some(if (scoring) boost else 0.0) else None
+    case RegexpQ(p) => if (tf.keys.exists(_.matches(p))) Some(if (scoring) boost else 0.0) else None
+    case TermRangeQ(lo, hi, il, ih) =>
+      val in = tf.keys.exists { t =>
+        lo.forall(v => if (il) t >= v else t > v) && hi.forall(v => if (ih) t <= v else t < v)
+      }
+      if (in) Some(if (scoring) boost else 0.0) else None
     case BoolQ(must, should, filter, mustNot, msm0) =>
       val mustS = must.map(eval(_, tf, normByte, ctx, boost, scoring))
       if (mustS.exists(_.isEmpty)) return None
@@ -228,6 +234,57 @@ class EngineSpec extends AnyFunSuite {
     assert(Query.normalize(BoolQ(should = Seq(TermQ("a"), TermQ("b")), minShouldMatch = 3)) == MatchNoneQ)
     assert(Query.normalize(BoostQ(BoostQ(TermQ("a"), 2), 3)) == BoostQ(TermQ("a"), 6))
     assert(Query.normalize(BoolQ(must = Seq(TermQ("a"), MatchNoneQ))) == MatchNoneQ)
+  }
+
+  test("regexp query: anchored full-match against the dictionary (automatonquery.go semantics)") {
+    val q = RegexpQ("id_1[0-7]")
+    val got = searcher.search(spark, q, 8).collect().map(_.docId).toSeq
+    assert(got == Oracle.topK(corpus, q, 8).map(_._1))
+  }
+
+  test("term range query: byte-order dictionary range, constant score") {
+    val q = TermRangeQ(Some("fn70"), Some("fn79"), includeHi = false)
+    val got = searcher.search(spark, q, 12).collect().map(s => (s.docId, s.score)).toSeq
+    assert(got == Oracle.topK(corpus, q, 12))
+  }
+
+  test("searchMany: batch run rank-identical to per-query search") {
+    val qs = refQueries.take(15)
+    val batch = searcher.searchMany(spark, qs, 10).collect()
+      .groupBy(_.queryId).view.mapValues(_.map(h => (h.docId, h.score)).toSeq).toMap
+    qs.foreach { case (name, q) =>
+      val single = searcher.search(spark, q, 10).collect().map(s => (s.docId, s.score)).toSeq
+      assert(batch.getOrElse(name, Nil) == single, s"batch/single mismatch for $name")
+    }
+  }
+
+  test("sort-by-field top-k (TopFieldCollector ≡ orderBy().limit())") {
+    import spark.implicits._
+    val lens = spark.createDataset(corpus.map { case (id, t) => (id, t.length) })
+      .toDF("doc_id", "text_len")
+    val got = searcher.searchSortBy(spark, TermQ("id_17"), lens,
+      Seq($"text_len".desc, $"doc_id".asc), 5)
+      .select("doc_id", "text_len").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val matching = corpus.filter(_._2.split(" ").contains("id_17"))
+      .map { case (id, t) => (id, t.length) }
+      .sortBy { case (id, len) => (-len, id) }.take(5)
+    assert(got == matching)
+  }
+
+  test("stageCheckpoint build: staged parquet path produces an identical index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val df = spark.createDataset(corpus).toDF("doc_id", "content")
+    val idx = IndexBuilder.build(spark, df, "doc_id", "content", dir,
+      BuildConfig(numSegments = 3, chunkDocs = 128, stageCheckpoint = true))
+    assert(idx.stats == index.stats.copy()) // same corpus => same global stats
+    val s = new IndexSearcher(idx)
+    refQueries.take(6).foreach { case (name, q) =>
+      val a = s.search(spark, q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      val b = searcher.search(spark, q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      assert(a == b, s"checkpointed build differs for $name")
+    }
+    assert(new java.io.File(s"$dir/staging").exists(), "staging parquet persisted for resume")
   }
 
   test("resume: buildOrLoad with matching fingerprint skips rebuild") {

@@ -39,8 +39,11 @@ object SparkEntry {
         val docsPath = s"$sfDir/documents.parquet"
         val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
+        // small chunkDocs so even the sf-scale tables split into several
+        // segments (segSize rounds up to a chunk multiple) — the verify
+        // path must exercise the multi-segment merge + MergeTopDocs
         val idx = IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
-          BuildConfig(numSegments = 4), inputPath = docsPath)
+          BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = docsPath)
         new IndexSearcher(idx)
       })
     }

@@ -1,0 +1,106 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.codec.ForBlock
+import graft.index.{IndexBuilder, IndexIO, TermPostings}
+
+/** Index integrity checker (the `core/index/checkindex.go:9-41` analogue,
+  * extended to the invariants our format actually carries). Distributed —
+  * every check is a Spark job over the segment parquet; the driver sees only
+  * violation counts.
+  *
+  * Checks:
+  *  1. manifest vs data: per-segment docCount / sumDocFreq / sumTotalTermFreq
+  *     re-aggregated from parquet equal the committed manifest.
+  *  2. postings: per (segment, term) the decoded docIds are strictly
+  *     ascending across blocks, block maxDoc equals its last docId,
+  *     Σcount == docFreq, Σfreqs == totalTermFreq, freqs >= 1.
+  *  3. docmeta: docIds unique and within the segment's [docBase,
+  *     docBase+segmentSize) range.
+  *  4. (optional, with input args) per-row sha256(content) equality against
+  *     the source table — the BASELINE.json input_hint invariant.
+  *
+  * args: <indexDir> [inputParquet idCol contentCol]
+  * exit 0 = clean, 1 = violations, 2 = no committed index.
+  */
+object CheckIndex {
+  def main(args: Array[String]): Unit = {
+    val indexDir = args(0)
+    val spark = CliSpark.session("graft-checkindex")
+    import spark.implicits._
+
+    val manifest = IndexIO.readManifest(spark, indexDir).getOrElse {
+      System.err.println(s"[graft] no committed index at $indexDir"); sys.exit(2)
+    }
+    var bad = 0L
+
+    // ---- 2. posting-list structural invariants -------------------------
+    val postingErrs = spark.read.parquet(s"$indexDir/postings").as[TermPostings]
+      .mapPartitions { it =>
+        var errs = 0L
+        it.foreach { tp =>
+          var prev = -1
+          var n = 0
+          var ttf = 0L
+          tp.blocks.foreach { b =>
+            val docs = ForBlock.decode(b.docBytes)
+            val freqs = ForBlock.decode(b.freqBytes)
+            if (docs.length != b.count || freqs.length != b.count || b.norms.length != b.count) errs += 1
+            if (docs.nonEmpty && docs.last.toInt != b.maxDoc) errs += 1
+            docs.foreach { d => if (d.toInt <= prev) errs += 1; prev = d.toInt }
+            freqs.foreach { f => if (f < 1) errs += 1; ttf += f }
+            n += b.count
+          }
+          if (n != tp.docFreq) errs += 1
+          if (ttf != tp.totalTermFreq) errs += 1
+        }
+        Iterator.single(errs)
+      }.reduce(_ + _)
+    bad += postingErrs
+    println(s"[graft] postings structural violations: $postingErrs")
+
+    // ---- 1. manifest vs re-aggregated stats ----------------------------
+    val postAgg = spark.read.parquet(s"$indexDir/postings")
+      .groupBy("segmentId").agg(sum("docFreq").as("sdf"), sum("totalTermFreq").as("sttf"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docAgg = spark.read.parquet(s"$indexDir/docmeta")
+      .groupBy("segmentId").agg(count(lit(1)).as("dc"), countDistinct("docId").as("dcd"),
+        min("docId").as("lo"), max("docId").as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    manifest.segments.foreach { s =>
+      val (sdf, sttf) = postAgg.getOrElse(s.segmentId, (0L, 0L))
+      val (dc, dcd, lo, hi) = docAgg.getOrElse(s.segmentId, (0L, 0L, 0L, -1L))
+      def err(msg: String): Unit = { bad += 1; println(s"[graft] segment ${s.segmentId}: $msg") }
+      if (sdf != s.sumDocFreq) err(s"sumDocFreq $sdf != manifest ${s.sumDocFreq}")
+      if (sttf != s.sumTotalTermFreq) err(s"sumTotalTermFreq $sttf != manifest ${s.sumTotalTermFreq}")
+      if (dc != s.docCount) err(s"docCount $dc != manifest ${s.docCount}")
+      if (dcd != dc) err(s"docIds not unique ($dcd distinct of $dc)")
+      if (dc > 0 && (lo < s.docBase || hi >= s.docBase + manifest.segmentSize))
+        err(s"docId range [$lo,$hi] outside segment [${s.docBase},${s.docBase + manifest.segmentSize})")
+    }
+
+    // ---- 4. optional sha256 invariant against the source ---------------
+    if (args.length >= 4) {
+      val (input, idCol, contentCol) = (args(1), args(2), args(3))
+      val src = spark.read.parquet(input)
+        .select(col(idCol).cast("long").as("docId"), col(contentCol).cast("string").as("content"))
+        .as[(Long, String)]
+        .map { case (id, c) => (id, IndexBuilder.sha256Hex(if (c == null) "" else c)) }
+        .toDF("docId", "srcSha")
+      val mismatches = spark.read.parquet(s"$indexDir/docmeta")
+        .join(src, "docId")
+        .where(col("sha") =!= col("srcSha"))
+        .count()
+      bad += mismatches
+      println(s"[graft] sha256 invariant mismatches vs $input: $mismatches")
+    }
+
+    println(s"[graft] checkindex ${if (bad == 0) "CLEAN" else s"FAILED ($bad violations)"}: " +
+      s"gen=${manifest.generation} segments=${manifest.segments.size} docs=${manifest.stats.docCount} " +
+      s"postingsBytes=${manifest.postingsBytes} docmetaBytes=${manifest.docmetaBytes}")
+    spark.stop()
+    if (bad != 0) sys.exit(1)
+  }
+}

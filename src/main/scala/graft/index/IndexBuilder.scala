@@ -170,10 +170,24 @@ object IndexBuilder {
       .mapPartitions(it => invertChunks(it, analyzer, segSizeL, chunkDocs))
     val chunked: Dataset[Stage1Row] = spark.createDataset(chunkedRdd)
 
+    // With stageCheckpoint the flushed chunks are durable and fingerprinted:
+    // a re-run after a mid-build failure resumes from the staged blocks
+    // (skipping re-analysis of the whole corpus — the expensive stage), the
+    // Spark-checkpoint resumability of the north rule.
     val staged: Dataset[Stage1Row] =
       if (cfg.stageCheckpoint) {
         val stagingDir = s"$indexDir/staging"
-        chunked.write.mode("overwrite").parquet(stagingDir)
+        val fpPath = s"$indexDir/staging.fp"
+        val fp = sha256Hex(s"${indexFingerprint(inputPath, docCount)}:$segSize:${cfg.chunkDocs}")
+        val reusable = inputPath.nonEmpty &&
+          IndexIO.readText(spark, fpPath).contains(fp) &&
+          IndexIO.exists(spark, s"$stagingDir/_SUCCESS")
+        if (!reusable) {
+          chunked.write.mode("overwrite").parquet(stagingDir)
+          IndexIO.writeText(spark, fpPath, fp)
+        } else {
+          System.err.println(s"[graft-build] resuming from staged chunks at $stagingDir")
+        }
         spark.read.parquet(stagingDir).as[Stage1Row]
       } else chunked.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -189,27 +203,34 @@ object IndexBuilder {
       .sortWithinPartitions($"segmentId", $"term", $"salt")
       .mapPartitions(mergeChunks _)
     merged.write.mode("overwrite").parquet(s"$indexDir/postings")
-    if (!cfg.stageCheckpoint) staged.unpersist()
     phase("stage2-merge")
 
     // ---- stats + manifest (small aggs; driver holds only S rows) --------
-    val postingsDf = spark.read.parquet(s"$indexDir/postings")
-    val segPostStats = postingsDf
+    // ONE aggregation pass over the still-cached staged dataset covers both
+    // posting and doc stats (merge only concatenates chunk rows, so summing
+    // chunk-level docFreq/ttf equals the merged per-term totals; distinct
+    // terms per segment = merged term count). Re-reading the two written
+    // parquet trees here would add two serial jobs per build.
+    val segStats = staged.toDF()
       .groupBy($"segmentId")
-      .agg(count(lit(1)).as("termCount"), sum($"docFreq").as("sumDocFreq"),
-           sum($"totalTermFreq").as("sumTotalTermFreq"), sum($"docFreq").as("postingCount"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    val docmetaDf = spark.read.parquet(s"$indexDir/docmeta")
-    val segDocStats = docmetaDf
-      .groupBy($"segmentId")
-      .agg(count(lit(1)).as("docCount"), sum(when($"norm" > 0, 1L).otherwise(0L)).as("fieldDocCount"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .agg(
+        sum(when($"term".isNotNull, $"docFreq")).as("sumDocFreq"),
+        sum(when($"term".isNotNull, $"totalTermFreq")).as("sumTotalTermFreq"),
+        countDistinct($"term").as("termCount"), // countDistinct skips nulls
+        count(when($"term".isNull, 1)).as("docCount"),
+        sum(when($"term".isNull && $"norm" > 0, 1L).otherwise(0L)).as("fieldDocCount"))
+      .collect()
+      .map(r => r.getInt(0) -> (
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    if (!cfg.stageCheckpoint) staged.unpersist(blocking = false)
     phase("stats")
 
-    val segs = segDocStats.keys.toSeq.sorted.map { sid =>
-      val (dc, fdc) = segDocStats(sid)
-      val (tc, sdf, sttf, pc) = segPostStats.getOrElse(sid, (0L, 0L, 0L, 0L))
-      SegmentMeta(sid, sid.toLong * segSizeL, dc, fdc, sttf, sdf, tc, pc,
+    val segs = segStats.keys.toSeq.sorted.map { sid =>
+      val (sdf, sttf, tc, dc, fdc) = segStats(sid)
+      SegmentMeta(sid, sid.toLong * segSizeL, dc, fdc, sttf, sdf, tc, postingCount = sdf,
         bytesWritten = 0L,
         lineageSha = sha256Hex(s"$sid:${sid.toLong * segSizeL}:$dc:$sttf"))
     }

@@ -16,6 +16,29 @@ object IndexIO {
     Seq(m).toDS().coalesce(1).write.mode("overwrite").parquet(manifestPath(indexDir))
   }
 
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  def writeText(spark: SparkSession, path: String, text: String): Unit = {
+    val out = fs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readText(spark: SparkSession, path: String): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = fs(spark, path)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    } catch { case _: Throwable => None }
+
   /** Total on-disk bytes under a path (works on any Hadoop FS, not just
     * local — the bytes-written build metric per the north rule). */
   def dirBytes(spark: SparkSession, path: String): Long = {

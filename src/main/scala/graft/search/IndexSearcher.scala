@@ -209,6 +209,18 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     case other => other
   }
 
+  /** Fetch stored fields for hits — the `IndexReader.Document(docID)`
+    * analogue (`core/search/indexsearcher.go:80-89`): the input table IS the
+    * stored-fields file (SURVEY.md §1.4); a broadcast-sized hit set joins
+    * back by docId (Catalyst picks a broadcast hash join for k rows).
+    */
+  def fetchDocs(spark: SparkSession, hits: Dataset[ScoredDoc], docs: DataFrame,
+                docIdCol: String): DataFrame = {
+    hits.toDF("doc_id", "score")
+      .join(docs, col("doc_id") === col(docIdCol))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
   /** Sort-by-field top-k — the TopFieldCollector/FieldValueHitQueue analogue
     * (`core/search/topfieldcollector.go:14-50`): every match joined to a
     * field table (the "doc values"), then `orderBy(sortCols).limit(k)` —

@@ -113,6 +113,41 @@ class CodecSpec extends AnyFunSuite {
     assert(n.toSeq == Seq(2, 10, 20) && f.toSeq == Seq(1, 3, 5))
   }
 
+  test("PostingsScorer.advance: random targets == linear-scan oracle (seeded property)") {
+    import graft.search.{DISI, PostingsScorer, TermReader}
+    import graft.index.TermPostings
+    val rnd = new scala.util.Random(7)
+    val cache = Bm25.buildCache(avgdl = 40.0)
+    (0 until 30).foreach { _ =>
+      val n = 1 + rnd.nextInt(700)
+      var cur = 0
+      val docs = Array.fill(n) { cur += 1 + rnd.nextInt(9); cur }
+      val freqs = Array.fill(n)(1 + rnd.nextInt(5))
+      val norms = Array.fill(n)((rnd.nextInt(250) + 1).toByte)
+      val blocks = IndexBuilder.buildBlocks(docs, freqs, norms)
+      val reader = new TermReader(TermPostings(0, "t", n, freqs.map(_.toLong).sum, blocks), cache)
+      val sc = new PostingsScorer(reader, 1.0, cache, scoring = true)
+      var target = 0
+      while (target <= docs.last) {
+        target += 1 + rnd.nextInt(40)
+        val prev = sc.docId
+        val got = sc.advance(target)
+        // contract: advance(t) = current doc if already >= t, else first >= t
+        val want =
+          if (prev != -1 && prev >= target) prev
+          else {
+            val idx = docs.indexWhere(_ >= target)
+            if (idx < 0) DISI.NO_MORE else docs(idx)
+          }
+        assert(got == want, s"advance($target) from $prev gave $got want $want")
+        if (got != DISI.NO_MORE) {
+          val i = docs.indexOf(got)
+          assert(sc.score() == Bm25.score(1.0, freqs(i), norms(i) & 0xFF, cache))
+        }
+      }
+    }
+  }
+
   test("posting blocks: geometry + impacts per block") {
     val n = 300
     val docs = Array.tabulate(n)(i => i * 2)

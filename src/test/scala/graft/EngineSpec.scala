@@ -287,6 +287,34 @@ class EngineSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/staging").exists(), "staging parquet persisted for resume")
   }
 
+  test("resume from staged chunks: second stageCheckpoint build reuses staging") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stagere").toString
+    val df = spark.createDataset(corpus).toDF("doc_id", "content")
+    val cfg = BuildConfig(numSegments = 3, chunkDocs = 128, stageCheckpoint = true)
+    IndexBuilder.build(spark, df, "doc_id", "content", dir, cfg, inputPath = "corpus800")
+    val stagingFile = new java.io.File(s"$dir/staging")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val mtime = stagingFile.lastModified()
+    Thread.sleep(1100)
+    // simulate a failed later phase: manifest removed, staging intact
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/manifest"))
+    val idx2 = IndexBuilder.build(spark, df, "doc_id", "content", dir, cfg, inputPath = "corpus800")
+    assert(stagingFile.lastModified() == mtime, "staging was rewritten instead of reused")
+    assert(idx2.stats == index.stats)
+  }
+
+  test("fetchDocs: stored-field fetch-back (IndexReader.Document analogue)") {
+    import spark.implicits._
+    val docsDf = spark.createDataset(corpus).toDF("id", "content")
+    val hits = searcher.search(spark, TermQ("id_17"), 5)
+    val fetched = searcher.fetchDocs(spark, hits, docsDf, "id").collect()
+    assert(fetched.length == hits.collect().length)
+    fetched.foreach { r =>
+      assert(r.getAs[String]("content").split(" ").contains("id_17"))
+    }
+  }
+
   test("resume: buildOrLoad with matching fingerprint skips rebuild") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString

@@ -129,6 +129,11 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id").asc), 10)
         .select("doc_id", "n_chars")
     }),
+    // absent term: empty result (not an error)
+    "q23_missing_term" -> topk(BoolQ(
+      must = Seq(TermQ("spark"), TermQ("zzz_not_in_corpus"))), 10),
+    // pure-negative query rewrites to MatchNoDocs (booleanquery.go:75-160)
+    "q24_pure_negative" -> topk(BoolQ(mustNot = Seq(TermQ("spark"))), 10),
     // PointRangeQuery analogue: BM25 matches + numeric doc-value range filter
     "q22_point_range" -> ((spark: SparkSession, sfDir: String) => {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -266,6 +271,10 @@ object SparkEntry {
       s"""$base, h1 AS (${hits("dup")}),
          |hits AS (SELECT h1.doc_id, h1.s FROM h1 JOIN documents d ON h1.doc_id = d.doc_id
          |         WHERE d.n_chars BETWEEN 150 AND 300)
-         |${top(10)}""".stripMargin
+         |${top(10)}""".stripMargin,
+    "q23_missing_term" ->
+      "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
+    "q24_pure_negative" ->
+      "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
   )
 }

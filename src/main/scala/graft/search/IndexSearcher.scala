@@ -270,6 +270,43 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     perLeaf.orderBy($"score".desc, $"docId".asc).limit(k).as[ScoredDoc]
   }
 
+  /** In-process top-k for SELECTIVE queries — the reference's embedded
+    * library mode (Lucene runs in-process; ours normally pays 2 Spark jobs
+    * per query). When the query terms' total posting count (known from
+    * TermStatistics before touching any posting data) is at most
+    * `maxLocalPostings`, the posting rows are fetched to the driver via the
+    * same pushed-down scan and the SAME segment kernels run locally —
+    * millisecond latency, rank-identical by construction. Queries over hot
+    * terms exceed the budget and fall back to the distributed path, so this
+    * is safe at any corpus size.
+    */
+  def searchLocal(spark: SparkSession, q0: Query, k: Int,
+                  maxLocalPostings: Long = 5000000L): Array[ScoredDoc] = {
+    import spark.implicits._
+    val q = rewrite(spark, q0)
+    val ctx = queryContext(spark, q)
+    val totalPostings = termStats(spark, q.terms).values.map(_._1).sum
+    val hasMatchAll = {
+      def f(x: Query): Boolean = x match {
+        case MatchAllQ => true
+        case BoolQ(m, s, fl, n, _) => (m ++ s ++ fl ++ n).exists(f)
+        case BoostQ(s, _) => f(s); case ConstQ(s, _) => f(s)
+        case DisjMaxQ(qs, _) => qs.exists(f)
+        case _ => false
+      }
+      f(q)
+    }
+    if (totalPostings > maxLocalPostings || (hasMatchAll && index.stats.docCount > maxLocalPostings))
+      return search(spark, q, k).collect()
+    val rows = postingRows(spark, q.terms).collect().groupBy(_.segmentId)
+    val hits = index.manifest.segments.iterator.flatMap { seg =>
+      val post = rows.getOrElse(seg.segmentId, Array.empty)
+        .map(tp => tp.term -> new TermReader(tp, ctx.cache)).toMap
+      SegmentKernel.topK(q, post, seg, ctx, k, None)
+    }.toArray
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** Batch execution of a whole query set in ONE distributed job — the
     * throughput shape for cluster-scale workloads (thousands of queries over
     * 10^12 docs): postings for the union of all query terms are read once,

@@ -315,6 +315,38 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("MemoryIndex: golden scores + agreement with distributed engine on 1-doc corpora") {
+    import graft.memory.MemoryIndex
+    val mi = new MemoryIndex().addField("some text")
+    assert(math.abs(mi.search(TermQ("text")) - 0.13076457) < 1e-8)
+    assert(math.abs(mi.search(TermQ("some")) - 0.13076457) < 1e-8)
+    assert(mi.search(TermQ("missing")) == 0.0)
+    assert(mi.search(BoolQ(must = Seq(TermQ("some"), TermQ("text")))) ==
+      mi.search(TermQ("some")) + mi.search(TermQ("text")))
+    // distributed engine must agree on the same 1-doc corpus
+    val idx = buildIndex("memparity", BuildConfig(numSegments = 1, chunkDocs = 128),
+      Seq((0L, "slow merge join slow")))
+    val s = new IndexSearcher(idx)
+    val mi2 = new MemoryIndex().addField("slow merge join slow")
+    Seq(TermQ("slow"): Query, BoolQ(must = Seq(TermQ("merge")), should = Seq(TermQ("slow"))),
+        PrefixQ("jo"): Query).foreach { q =>
+      val dist = s.search(spark, q, 1).collect().headOption.map(_.score).getOrElse(0.0)
+      assert(dist == mi2.search(q), s"MemoryIndex disagrees on $q")
+    }
+  }
+
+  test("searchLocal: in-process fast path rank-identical to distributed search") {
+    refQueries.take(12).foreach { case (name, q) =>
+      val local = searcher.searchLocal(spark, q, 10).map(h => (h.docId, h.score)).toSeq
+      val dist = searcher.search(spark, q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      assert(local == dist, s"searchLocal differs for $name")
+    }
+    // over-budget queries fall back to the distributed path transparently
+    val q = BoolQ(should = Seq(TermQ("import"), TermQ("def")))
+    val local = searcher.searchLocal(spark, q, 10, maxLocalPostings = 1).map(h => (h.docId, h.score)).toSeq
+    assert(local == searcher.search(spark, q, 10).collect().map(h => (h.docId, h.score)).toSeq)
+  }
+
   test("resume: buildOrLoad with matching fingerprint skips rebuild") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString

@@ -132,11 +132,17 @@ object Bench {
         val (_, secs) = timed(searcher.search(spark, q, k).collect())
         name -> secs
       }
+      // embedded mode: same queries through searchLocal (stats cached after
+      // the distributed pass, so this measures the in-process kernel path)
+      val localTimes = interactive.collect { case (name, q) if name != "batch200" =>
+        val (_, secs) = timed(searcher.searchLocal(spark, q, k))
+        s"local_$name" -> secs
+      }
       val sfQueries = SyntheticCorpus.referenceQueries(200).map { case (id, q) =>
         id -> remapToSfVocab(q)
       }
       val (_, batchSecs) = timed(searcher.searchMany(spark, sfQueries, k).count())
-      (times :+ ("batch200" -> batchSecs), bs, idx.stats.docCount)
+      (times ++ localTimes :+ ("batch200" -> batchSecs), bs, idx.stats.docCount)
     } finally spark.stop()
 
     // ---- report ---------------------------------------------------------

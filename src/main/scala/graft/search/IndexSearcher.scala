@@ -237,20 +237,33 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
 
   /** Global term statistics for the query terms: sum over segments, pushed
     * down to the term-sorted parquet (`indexsearcher.go:438-496` analogue).
+    * Stats are immutable for a committed index generation, so they are
+    * memoized per searcher — repeated-term workloads (interactive sessions,
+    * query logs) skip the stats job entirely. Terms absent from the index
+    * are cached as (0, 0).
     */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   def termStats(spark: SparkSession, terms: Set[String]): Map[String, (Long, Long)] = {
     if (terms.isEmpty) return Map.empty
-    index.postings(spark)
-      .where(col("term").isin(terms.toSeq: _*))
-      .groupBy("term")
-      .agg(sum("docFreq").as("df"), sum("totalTermFreq").as("ttf"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    val missing = terms.filterNot(statsCache.containsKey)
+    if (missing.nonEmpty) {
+      val fetched = index.postings(spark)
+        .where(col("term").isin(missing.toSeq: _*))
+        .groupBy("term")
+        .agg(sum("docFreq").as("df"), sum("totalTermFreq").as("ttf"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      missing.foreach(t => statsCache.put(t, fetched.getOrElse(t, (0L, 0L))))
+    }
+    terms.iterator.map(t => t -> statsCache.get(t)).filter(_._2._1 > 0).toMap
   }
 
-  def queryContext(spark: SparkSession, q: Query): QueryContext = {
-    val stats = termStats(spark, q.terms)
+  def queryContext(spark: SparkSession, q: Query): QueryContext =
+    queryContextFor(termStats(spark, q.terms))
+
+  private def queryContextFor(stats: Map[String, (Long, Long)]): QueryContext = {
     val n = index.stats.fieldDocCount
     val idf = stats.map { case (t, (df, _)) => t -> Bm25.idf(df, n) }
     QueryContext(idf, Bm25.buildCache(index.stats.avgdl), n)
@@ -284,8 +297,9 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
                   maxLocalPostings: Long = 5000000L): Array[ScoredDoc] = {
     import spark.implicits._
     val q = rewrite(spark, q0)
-    val ctx = queryContext(spark, q)
-    val totalPostings = termStats(spark, q.terms).values.map(_._1).sum
+    val stats = termStats(spark, q.terms) // one stats job; ctx derives from it
+    val ctx = queryContextFor(stats)
+    val totalPostings = stats.values.map(_._1).sum
     val hasMatchAll = {
       def f(x: Query): Boolean = x match {
         case MatchAllQ => true

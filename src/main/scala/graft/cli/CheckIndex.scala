@@ -79,6 +79,10 @@ object CheckIndex {
       if (dcd != dc) err(s"docIds not unique ($dcd distinct of $dc)")
       if (dc > 0 && (lo < s.docBase || hi >= s.docBase + manifest.segmentSize))
         err(s"docId range [$lo,$hi] outside segment [${s.docBase},${s.docBase + manifest.segmentSize})")
+      // density: locals must be exactly 0..dc-1 (MatchAllDocs iterates this
+      // range; the builder contract requires dense input ids)
+      if (dc > 0 && (lo != s.docBase || hi != s.docBase + dc - 1))
+        err(s"docIds not dense: [$lo,$hi] != [${s.docBase},${s.docBase + dc - 1}]")
     }
 
     // ---- 4. optional sha256 invariant against the source ---------------

@@ -63,13 +63,21 @@ object Bench {
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", sys.props("java.class.path"), "graft.bench.BenchLevel",
       cpus.toString, corpusPath, nQueries.toString, k.toString)
-    val pb = new ProcessBuilder(cmd.asJava)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val proc = pb.start()
-    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toVector
-    val rc = proc.waitFor()
-    val line = out.find(_.startsWith("LEVELRESULT"))
-      .getOrElse(sys.error(s"BenchLevel($cpus) rc=$rc produced no result; output:\n${out.mkString("\n")}"))
+    def once(): Either[String, String] = {
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toVector
+      val rc = proc.waitFor()
+      out.find(_.startsWith("LEVELRESULT"))
+        .toRight(s"BenchLevel($cpus) rc=$rc produced no result; output:\n${out.mkString("\n")}")
+    }
+    val line = once() match {
+      case Right(l) => l
+      case Left(err1) => // one retry: a level crash must not cost the round's bench
+        System.err.println(s"[bench] level $cpus failed once, retrying: $err1")
+        once().fold(sys.error, identity)
+    }
     val kv = line.split(' ').drop(1).map { t => val Array(a, b) = t.split('=');  a -> b }.toMap
     val nDocs = kv("docs").toLong
     val buildSecs = kv("build_secs").toDouble

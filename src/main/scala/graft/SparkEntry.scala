@@ -129,6 +129,12 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id").asc), 10)
         .select("doc_id", "n_chars")
     }),
+    // required clause + minimumShouldMatch=2 over three SHOULDs (the mixed
+    // Boolean2ScorerSupplier path: ConjunctionScorer(req, DisjSum(msm)))
+    "q25_must_msm2" -> topk(BoolQ(
+      must = Seq(TermQ("table")),
+      should = Seq(TermQ("spark"), TermQ("data"), TermQ("dup")),
+      minShouldMatch = 2), 10),
     // absent term: empty result (not an error)
     "q23_missing_term" -> topk(BoolQ(
       must = Seq(TermQ("spark"), TermQ("zzz_not_in_corpus"))), 10),
@@ -272,6 +278,17 @@ object SparkEntry {
          |hits AS (SELECT h1.doc_id, h1.s FROM h1 JOIN documents d ON h1.doc_id = d.doc_id
          |         WHERE d.n_chars BETWEEN 150 AND 300)
          |${top(10)}""".stripMargin,
+    "q25_must_msm2" ->
+      s"""$base, hr AS (${hits("table")}),
+         |h1 AS (${hits("spark")}), h2 AS (${hits("data")}), h3 AS (${hits("dup")}),
+         |hits AS (SELECT hr.doc_id,
+         |           hr.s + COALESCE(h1.s, 0) + COALESCE(h2.s, 0) + COALESCE(h3.s, 0) AS s,
+         |           (h1.doc_id IS NOT NULL)::INT + (h2.doc_id IS NOT NULL)::INT
+         |             + (h3.doc_id IS NOT NULL)::INT AS m
+         |         FROM hr LEFT JOIN h1 USING (doc_id) LEFT JOIN h2 USING (doc_id)
+         |                 LEFT JOIN h3 USING (doc_id))
+         |SELECT doc_id, round(s, 6) AS score FROM hits WHERE m >= 2
+         |ORDER BY s DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
     "q24_pure_negative" ->

@@ -145,7 +145,12 @@ class EngineSpec extends AnyFunSuite {
       val n = if (i % 2 == 0) Seq(TermQ(rare(i % rare.size)): Query) else Nil
       s"mixed_$i" -> (BoolQ(must = m, should = s, mustNot = n): Query)
     }
-    val boosted = Seq(
+    val mixedMsm = Seq(
+      "mixedmsm_0" -> (BoolQ(must = Seq(TermQ("import")),
+        should = Seq(TermQ("id_17"), TermQ("fn7"), TermQ("def")), minShouldMatch = 2): Query),
+      "mixedmsm_1" -> (BoolQ(must = Seq(TermQ("val")), filter = Seq(TermQ("def")),
+        should = Seq(TermQ("id_1"), TermQ("id_333")), minShouldMatch = 1): Query))
+    val boosted = mixedMsm ++ Seq(
       "boost_0" -> (BoolQ(should = Seq(BoostQ(TermQ("import"), 2.5), TermQ("id_17"))): Query),
       "dismax_0" -> (DisjMaxQ(Seq(TermQ("import"), TermQ("def"), TermQ("id_1")), 0.3): Query),
       "const_0" -> (BoolQ(must = Seq(TermQ("def")), filter = Seq(TermQ("import"))): Query),
@@ -345,6 +350,11 @@ class EngineSpec extends AnyFunSuite {
     val q = BoolQ(should = Seq(TermQ("import"), TermQ("def")))
     val local = searcher.searchLocal(spark, q, 10, maxLocalPostings = 1).map(h => (h.docId, h.score)).toSeq
     assert(local == searcher.search(spark, q, 10).collect().map(h => (h.docId, h.score)).toSeq)
+  }
+
+  test("driver contract smoke: SparkEntry.entry has rows; every oracle key has a query") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
 
   test("resume: buildOrLoad with matching fingerprint skips rebuild") {

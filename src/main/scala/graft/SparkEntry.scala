@@ -140,6 +140,18 @@ object SparkEntry {
       must = Seq(TermQ("spark"), TermQ("zzz_not_in_corpus"))), 10),
     // pure-negative query rewrites to MatchNoDocs (booleanquery.go:75-160)
     "q24_pure_negative" -> topk(BoolQ(mustNot = Seq(TermQ("spark"))), 10),
+    // batch execution: three queries answered in ONE distributed job
+    // (searchMany) — must equal the per-query results
+    "q26_batch" -> ((spark: SparkSession, sfDir: String) => {
+      val qs: Seq[(String, Query)] = Seq(
+        "a" -> TermQ("spark"),
+        "b" -> BoolQ(must = Seq(TermQ("join"), TermQ("hash"))),
+        "c" -> BoolQ(should = Seq(TermQ("dup"), TermQ("vector"))))
+      searcher(spark, sfDir).searchMany(spark, qs, 10)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "doc_id")
+    }),
     // PointRangeQuery analogue: BM25 matches + numeric doc-value range filter
     "q22_point_range" -> ((spark: SparkSession, sfDir: String) => {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -292,6 +304,24 @@ object SparkEntry {
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
     "q24_pure_negative" ->
-      "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+      "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
+    "q26_batch" ->
+      s"""$base, ha AS (${hits("spark")}),
+         |hj AS (${hits("join")}), hh AS (${hits("hash")}),
+         |hb AS (SELECT hj.doc_id, hj.s + hh.s AS s FROM hj JOIN hh USING (doc_id)),
+         |h1 AS (${hits("dup")}), h2 AS (${hits("vector")}),
+         |ids AS (SELECT doc_id FROM h1 UNION SELECT doc_id FROM h2),
+         |hc AS (SELECT ids.doc_id, COALESCE(h1.s, 0) + COALESCE(h2.s, 0) AS s
+         |       FROM ids LEFT JOIN h1 USING (doc_id) LEFT JOIN h2 USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT 'a' AS query_id, doc_id, round(s, 6) AS score FROM
+         |    (SELECT * FROM ha ORDER BY s DESC, doc_id ASC LIMIT 10)
+         |  UNION ALL
+         |  SELECT 'b' AS query_id, doc_id, round(s, 6) AS score FROM
+         |    (SELECT * FROM hb ORDER BY s DESC, doc_id ASC LIMIT 10)
+         |  UNION ALL
+         |  SELECT 'c' AS query_id, doc_id, round(s, 6) AS score FROM
+         |    (SELECT * FROM hc ORDER BY s DESC, doc_id ASC LIMIT 10)
+         |) ORDER BY query_id, doc_id""".stripMargin
   )
 }

@@ -115,7 +115,32 @@ object IndexBuilder {
   def build(spark: SparkSession, docs: DataFrame, docIdCol: String,
             contentCol: String, indexDir: String,
             cfg: BuildConfig = BuildConfig(),
-            inputPath: String = ""): BuiltIndex = {
+            inputPath: String = ""): BuiltIndex =
+    buildInternal(spark, docs, docIdCol, contentCol, indexDir, cfg, inputPath, prev = None)
+
+  /** Incremental append — the IndexWriter.AddDocument+Commit lifecycle
+    * (`core/index/indexwriter.go:399,493`): index new docs as ADDITIONAL
+    * segments of a committed index; existing segments are never rewritten
+    * (Lucene's segment model). The new docs' ids must be >= the index's
+    * [[BuiltIndex.nextDocBase]] (the next empty segment boundary — segment
+    * geometry is fixed at first build). Commits a new manifest generation
+    * whose stats cover all generations; a reader re-opening the manifest
+    * sees the appended docs (the reference's NRT-reopen analogue).
+    */
+  def append(spark: SparkSession, docs: DataFrame, docIdCol: String,
+             contentCol: String, indexDir: String,
+             cfg: BuildConfig = BuildConfig(),
+             inputPath: String = ""): BuiltIndex = {
+    val prev = IndexIO.readManifest(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(s"append requires a committed index at $indexDir"))
+    buildInternal(spark, docs, docIdCol, contentCol, indexDir, cfg, inputPath, Some(prev))
+  }
+
+  private def buildInternal(spark: SparkSession, docs: DataFrame, docIdCol: String,
+            contentCol: String, indexDir: String,
+            cfg: BuildConfig,
+            inputPath: String,
+            prev: Option[Manifest]): BuiltIndex = {
     import spark.implicits._
     require(cfg.chunkDocs % PostingBlock.Size == 0, "chunkDocs must be a multiple of block size")
 
@@ -132,15 +157,37 @@ object IndexBuilder {
 
     // one tiny agg to fix the segment geometry (driver-side scalars only;
     // reads only the id column — column pruning keeps text out of this scan)
-    val (maxIdRow, docCount) = {
-      val r = input.agg(max($"_1"), count(lit(1))).head()
-      (r.getLong(0), r.getLong(1))
+    val (minIdRow, maxIdRow, docCount) = {
+      val r = input.agg(min($"_1"), max($"_1"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     // segment size rounded UP to a chunk multiple, so a chunk never crosses
-    // a segment boundary and chunkId == (segment, salt) 1:1
-    val segSize0: Long = math.max(1L, (maxIdRow + cfg.numSegments) / cfg.numSegments)
-    val segSize: Long = ((segSize0 + cfg.chunkDocs - 1) / cfg.chunkDocs) * cfg.chunkDocs
+    // a segment boundary and chunkId == (segment, salt) 1:1; appends inherit
+    // the committed geometry and must start at the next segment boundary
+    val segSize: Long = prev match {
+      case Some(m) =>
+        require(m.segmentSize % cfg.chunkDocs == 0,
+          s"append chunkDocs ${cfg.chunkDocs} must divide committed segmentSize ${m.segmentSize}")
+        val nextBase = (m.segments.map(_.segmentId).max + 1).toLong * m.segmentSize
+        require(minIdRow >= nextBase,
+          s"append docIds must be >= nextDocBase $nextBase (got min $minIdRow)")
+        m.segmentSize
+      case None =>
+        val segSize0 = math.max(1L, (maxIdRow + cfg.numSegments) / cfg.numSegments)
+        ((segSize0 + cfg.chunkDocs - 1) / cfg.chunkDocs) * cfg.chunkDocs
+    }
     require(segSize <= Int.MaxValue, "segment size must fit in Int (raise numSegments)")
+    val generation = prev.map(_.generation + 1)
+      .orElse(IndexIO.readManifest(spark, indexDir).map(_.generation + 1)).getOrElse(1L)
+    // generation subdirectories: appends add files without touching committed
+    // generations, and a failed append retries cleanly by rewriting only its
+    // own gen dir. A full build wipes the parent dirs first.
+    if (prev.isEmpty) {
+      IndexIO.delete(spark, s"$indexDir/postings")
+      IndexIO.delete(spark, s"$indexDir/docmeta")
+    }
+    val postingsDir = s"$indexDir/postings/gen=$generation"
+    val docmetaDir = s"$indexDir/docmeta/gen=$generation"
     phase("geometry")
 
     val analyzer = new Analyzer(cfg.stopWords)
@@ -158,7 +205,7 @@ object IndexBuilder {
     // gives binomial imbalance and stragglers. RDD drop-down is deliberate:
     // repartitionAndSortWithinPartitions is the spillable shuffle-sort this
     // stage needs (the survey's sanctioned per-partition imperative escape).
-    val numChunks = (segSizeL / chunkDocs) * cfg.numSegments
+    val numChunks = (maxIdRow / chunkDocs) + 1 // upper bound on distinct chunk ids
     val stage1Parts = math.min(outParts.toLong, math.max(1L, numChunks)).toInt
     val partitioner = new org.apache.spark.Partitioner {
       def numPartitions: Int = stage1Parts
@@ -176,8 +223,8 @@ object IndexBuilder {
     // Spark-checkpoint resumability of the north rule.
     val staged: Dataset[Stage1Row] =
       if (cfg.stageCheckpoint) {
-        val stagingDir = s"$indexDir/staging"
-        val fpPath = s"$indexDir/staging.fp"
+        val stagingDir = s"$indexDir/staging/gen=$generation"
+        val fpPath = s"$indexDir/staging-gen$generation.fp"
         val fp = sha256Hex(s"${indexFingerprint(inputPath, docCount)}:$segSize:${cfg.chunkDocs}")
         val reusable = inputPath.nonEmpty &&
           IndexIO.readText(spark, fpPath).contains(fp) &&
@@ -194,7 +241,7 @@ object IndexBuilder {
     // ---- doc metadata (norms + sha256 invariant), docId-sorted files ----
     staged.filter(_.term == null)
       .map(r => DocMeta(r.segmentId, r.segmentId.toLong * segSizeL + r.localDoc, r.norm, r.sha))
-      .write.mode("overwrite").parquet(s"$indexDir/docmeta")
+      .write.mode("overwrite").parquet(docmetaDir)
     phase("stage1+docmeta")
 
     // ---- stage 2: salted sort-merge of chunk blocks (≙ SegmentMerger) ---
@@ -202,7 +249,7 @@ object IndexBuilder {
       .repartition(outParts, $"segmentId", $"term")
       .sortWithinPartitions($"segmentId", $"term", $"salt")
       .mapPartitions(mergeChunks _)
-    merged.write.mode("overwrite").parquet(s"$indexDir/postings")
+    merged.write.mode("overwrite").parquet(postingsDir)
     phase("stage2-merge")
 
     // ---- stats + manifest (small aggs; driver holds only S rows) --------
@@ -228,23 +275,28 @@ object IndexBuilder {
     if (!cfg.stageCheckpoint) staged.unpersist(blocking = false)
     phase("stats")
 
-    val segs = segStats.keys.toSeq.sorted.map { sid =>
+    val newSegs = segStats.keys.toSeq.sorted.map { sid =>
       val (sdf, sttf, tc, dc, fdc) = segStats(sid)
       SegmentMeta(sid, sid.toLong * segSizeL, dc, fdc, sttf, sdf, tc, postingCount = sdf,
         bytesWritten = 0L,
         lineageSha = sha256Hex(s"$sid:${sid.toLong * segSizeL}:$dc:$sttf"))
     }
+    val segs = prev.map(_.segments).getOrElse(Nil) ++ newSegs
     val stats = IndexStats(
       docCount = segs.map(_.docCount).sum,
       fieldDocCount = segs.map(_.fieldDocCount).sum,
       sumTotalTermFreq = segs.map(_.sumTotalTermFreq).sum,
       sumDocFreq = segs.map(_.sumDocFreq).sum)
+    val corpusSha = prev match {
+      case Some(m) => sha256Hex(s"${m.corpusSha}+${indexFingerprint(inputPath, docCount)}")
+      case None => indexFingerprint(inputPath, docCount)
+    }
     val manifest = Manifest(
-      generation = IndexIO.readManifest(spark, indexDir).map(_.generation + 1).getOrElse(1L),
-      numSegments = cfg.numSegments,
+      generation = generation,
+      numSegments = segs.size,
       segmentSize = segSize,
       stats = stats, segments = segs,
-      corpusSha = indexFingerprint(inputPath, docCount),
+      corpusSha = corpusSha,
       postingsBytes = IndexIO.dirBytes(spark, s"$indexDir/postings"),
       docmetaBytes = IndexIO.dirBytes(spark, s"$indexDir/docmeta"))
     IndexIO.writeManifest(spark, indexDir, manifest)

@@ -23,6 +23,9 @@ object IndexIO {
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
+  def delete(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+
   def writeText(spark: SparkSession, path: String, text: String): Unit = {
     val out = fs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
@@ -60,6 +63,11 @@ object IndexIO {
 final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Serializable {
   def segmentSize: Long = manifest.segmentSize
   def stats: IndexStats = manifest.stats
+
+  /** First docId of the next empty segment — the id base a caller must use
+    * for [[IndexBuilder.append]]ed documents. */
+  def nextDocBase: Long =
+    (manifest.segments.map(_.segmentId).max + 1).toLong * manifest.segmentSize
 
   /** Per-segment posting lists; parquet partitioned by segmentId, files
     * sorted by term — `filter(col("term") === t)` is answered via parquet

@@ -298,7 +298,7 @@ class EngineSpec extends AnyFunSuite {
     val df = spark.createDataset(corpus).toDF("doc_id", "content")
     val cfg = BuildConfig(numSegments = 3, chunkDocs = 128, stageCheckpoint = true)
     IndexBuilder.build(spark, df, "doc_id", "content", dir, cfg, inputPath = "corpus800")
-    val stagingFile = new java.io.File(s"$dir/staging")
+    val stagingFile = new java.io.File(s"$dir/staging/gen=1")
       .listFiles().filter(_.getName.endsWith(".parquet")).head
     val mtime = stagingFile.lastModified()
     Thread.sleep(1100)

@@ -47,6 +47,42 @@ class TestIndexWriterEquivalent extends AnyFunSuite {
     assert(norms(0L) == 4 && norms(1L) == 0)
   }
 
+  test("append (AddDocument+Commit lifecycle): new generation, old segments untouched, ranks match union oracle") {
+    import spark.implicits._
+    val dir = tmpDir("append")
+    val baseDocs = TestCorpus.generate(500, seed = 42)
+    val idx1 = IndexBuilder.build(spark,
+      spark.createDataset(baseDocs).toDF("doc_id", "content"), "doc_id", "content", dir,
+      BuildConfig(numSegments = 3, chunkDocs = 128))
+    val gen1Files = new java.io.File(s"$dir/postings/gen=1").listFiles().map(_.getName).toSet
+    val nb = idx1.nextDocBase
+    val extra = TestCorpus.generate(300, seed = 99).map { case (id, t) => (nb + id, t) }
+    val idx2 = IndexBuilder.append(spark,
+      spark.createDataset(extra).toDF("doc_id", "content"), "doc_id", "content", dir,
+      BuildConfig(chunkDocs = 128))
+    assert(idx2.manifest.generation == idx1.manifest.generation + 1)
+    assert(idx2.stats.docCount == 800)
+    assert(new java.io.File(s"$dir/postings/gen=1").listFiles().map(_.getName).toSet == gen1Files,
+      "append rewrote committed segment files")
+    // reader over the new manifest must be rank-identical to an exhaustive
+    // oracle over the union corpus (global idf/avgdl now span generations)
+    val s = new IndexSearcher(idx2)
+    val union = baseDocs ++ extra
+    Seq[Query](TermQ("import"),
+        BoolQ(must = Seq(TermQ("def")), should = Seq(TermQ("id_17"))),
+        BoolQ(should = Seq(TermQ("import"), TermQ("id_1")), minShouldMatch = 1))
+      .foreach { q =>
+        val got = s.search(spark, q, 10).collect().map(h => (h.docId, h.score)).toSeq
+        assert(got == Oracle.topK(union, q, 10), s"append rank mismatch for $q")
+      }
+    // appending below the boundary must be rejected (segments are immutable)
+    intercept[IllegalArgumentException] {
+      IndexBuilder.append(spark,
+        spark.createDataset(Seq((0L, "x"))).toDF("doc_id", "content"),
+        "doc_id", "content", dir, BuildConfig(chunkDocs = 128))
+    }
+  }
+
   test("hot-term pathological skew: a term in EVERY doc builds bounded salted chunks and queries correctly") {
     import spark.implicits._
     val n = 2000

@@ -69,7 +69,8 @@ object Search {
   def main(args: Array[String]): Unit = {
     val indexDir = args(0)
     val k = args(1).toInt
-    val q = parse(args.drop(2).toSeq)
+    val (fetchPath, queryArgs) = args.drop(2).partition(_.startsWith("fetch="))
+    val q = parse(queryArgs.toSeq)
     val spark = CliSpark.session("graft-search")
     IndexIO.readManifest(spark, indexDir) match {
       case None => System.err.println(s"[graft] no committed index at $indexDir"); sys.exit(2)
@@ -77,10 +78,18 @@ object Search {
         val searcher = new IndexSearcher(new graft.index.BuiltIndex(indexDir, m))
         println(s"[graft] query: $q")
         val t0 = System.nanoTime()
-        val hits = searcher.search(spark, q, k).collect()
+        val hits = searcher.search(spark, q, k)
+        val collected = hits.collect()
         val ms = (System.nanoTime() - t0) / 1e6
-        println(f"[graft] ${hits.length} hits in $ms%.1f ms (totalHits=${searcher.count(spark, q)})")
-        hits.zipWithIndex.foreach { case (h, i) => println(f"[graft]  #${i + 1}%2d doc=${h.docId}%6d score=${h.score}%.6f") }
+        println(f"[graft] ${collected.length} hits in $ms%.1f ms (totalHits=${searcher.count(spark, q)})")
+        collected.zipWithIndex.foreach { case (h, i) => println(f"[graft]  #${i + 1}%2d doc=${h.docId}%6d score=${h.score}%.6f") }
+        // stored-field fetch-back (IndexReader.Document analogue)
+        fetchPath.headOption.foreach { fp =>
+          val docs = spark.read.parquet(fp.stripPrefix("fetch="))
+          searcher.fetchDocs(spark, spark.createDataset(collected.toSeq)(
+              org.apache.spark.sql.Encoders.product[ScoredDoc]), docs, "doc_id")
+            .show(k, truncate = 60)
+        }
     }
     spark.stop()
   }

@@ -216,9 +216,11 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     */
   def fetchDocs(spark: SparkSession, hits: Dataset[ScoredDoc], docs: DataFrame,
                 docIdCol: String): DataFrame = {
-    hits.toDF("doc_id", "score")
-      .join(docs, col("doc_id") === col(docIdCol))
-      .orderBy(col("score").desc, col("doc_id").asc)
+    val h = hits.toDF("doc_id", "score")
+    if (docIdCol == "doc_id")
+      h.join(docs, Seq("doc_id")).orderBy(col("score").desc, col("doc_id").asc)
+    else
+      h.join(docs, h("doc_id") === docs(docIdCol)).orderBy(col("score").desc, h("doc_id").asc)
   }
 
   /** Sort-by-field top-k — the TopFieldCollector/FieldValueHitQueue analogue

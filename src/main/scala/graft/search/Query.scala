@@ -56,6 +56,22 @@ final case class TermRangeQ(lo: Option[String], hi: Option[String],
                             includeLo: Boolean = true, includeHi: Boolean = true) extends Query
 
 object Query {
+  /** Reference clause cap (`core/search/booleanquery.go:22-26` maxClauseCount). */
+  val MaxClauseCount = 1024
+
+  final class TooManyClauses(n: Int) extends IllegalArgumentException(
+    s"BooleanQuery has $n clauses, more than the $MaxClauseCount allowed")
+
+  private def clauseCount(q: Query): Int = q match {
+    case BoolQ(m, s, f, n, _) =>
+      val direct = m.size + s.size + f.size + n.size
+      direct + (m ++ s ++ f ++ n).map(clauseCount).sum
+    case BoostQ(s, _) => clauseCount(s)
+    case ConstQ(s, _) => clauseCount(s)
+    case DisjMaxQ(qs, _) => qs.map(clauseCount).sum
+    case _ => 0
+  }
+
   /** Fixed-point normalization replicating the BooleanQuery rewrites
     * (`core/search/booleanquery.go:75-160` + SURVEY.md §4.1):
     *  - 1-clause unwrap (single MUST, or single SHOULD with msm<=1)
@@ -66,6 +82,8 @@ object Query {
     *  - msm > |should| => MatchNone
     */
   def normalize(q: Query): Query = {
+    val n = clauseCount(q)
+    if (n > MaxClauseCount) throw new TooManyClauses(n)
     var cur = q
     var prev: Query = null
     var iter = 0

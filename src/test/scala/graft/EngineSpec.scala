@@ -232,6 +232,12 @@ class EngineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("max 1024 clauses enforced (booleanquery.go maxClauseCount)") {
+    val big = BoolQ(should = (0 to 1024).map(i => TermQ(s"t$i")))
+    intercept[Query.TooManyClauses] { Query.normalize(big) }
+    Query.normalize(BoolQ(should = (0 until 1024).map(i => TermQ(s"t$i")))) // at the limit: fine
+  }
+
   test("normalize: reference BooleanQuery rewrites (booleanquery.go:75-160)") {
     assert(Query.normalize(BoolQ(must = Seq(TermQ("a")))) == TermQ("a"))
     assert(Query.normalize(BoolQ(mustNot = Seq(TermQ("a")))) == MatchNoneQ)

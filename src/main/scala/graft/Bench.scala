@@ -110,7 +110,7 @@ object Bench {
     // that swallows exactly one level's JVM would otherwise fake the ratio.
     val Array(lvlN, lvl4N) = sys.env.getOrElse("GRAFT_BENCH_LEVELS", "2,8")
       .split(",").map(_.trim.toInt)
-    val maxRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "4").toInt
+    val maxRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
     def best(ls: Seq[Level]): Level = {
       val b = ls.minBy(_.buildSecs)
       val q = ls.minBy(_.batchSecs).batchSecs

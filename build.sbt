@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must reach stdout UNPREFIXED: the driver parses the one
+// JSON metric line from `sbt runMain graft.Bench`, and sbt's default logged
+// output strategy prepends "[info] " which breaks that parse (BENCH_r01
+// "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

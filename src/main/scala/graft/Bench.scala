@@ -247,10 +247,10 @@ object Bench {
          |local[${n32.cpus}] (=4N) on identical input (64 input files, 64
          |shuffle partitions, 64 segments at both levels — only thread count
          |differs). Each level runs in its own fresh JVM (≙ one spark-submit
-         |per cluster size), self-warmed, min-of-2 timed runs per JVM with the
-         |level JVMs interleaved over two rounds (per-level min across
-         |rounds — the sandbox host has multi-minute degradation windows
-         |that would otherwise hit exactly one level), artifacts on tmpfs
+         |per cluster size), self-warmed, ONE timed run per JVM with the
+         |level JVMs interleaved over up to ${runs.size} rounds (per-level
+         |min across rounds — the sandbox host has multi-minute degradation
+         |windows that would otherwise hit exactly one level), artifacts on tmpfs
          |(the sandbox's virtio disk adds 2-3x writeback jitter that would
          |swamp the signal). N is chosen so 4N cores do not saturate
          |the single box's memory bandwidth — on a real cluster 4N executors
@@ -294,7 +294,7 @@ object Bench {
          |
          || query | seconds |
          ||---|---|
-         |${perQuery.map { case (n, s) => s"| $n | ${"%.4f".format(s)} |" }.mkString("\n")}
+         |${perQuery.map { case (n, s) => s"| $n | ${"%.4f".format(s)} |" }.mkString("\n|")}
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)

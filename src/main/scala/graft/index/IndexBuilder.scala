@@ -181,10 +181,17 @@ object IndexBuilder {
       .orElse(IndexIO.readManifest(spark, indexDir).map(_.generation + 1)).getOrElse(1L)
     // generation subdirectories: appends add files without touching committed
     // generations, and a failed append retries cleanly by rewriting only its
-    // own gen dir. A full build wipes the parent dirs first.
+    // own gen dir. A full build FIRST retracts the manifest (readers fail
+    // closed — a crash between the data-dir wipe and the new commit must not
+    // leave a valid-looking manifest pointing at deleted data), then wipes
+    // the data dirs plus any stale staged chunks from prior generations.
     if (prev.isEmpty) {
+      IndexIO.delete(spark, IndexIO.manifestPath(indexDir))
       IndexIO.delete(spark, s"$indexDir/postings")
       IndexIO.delete(spark, s"$indexDir/docmeta")
+      IndexIO.delete(spark, s"$indexDir/deletes")
+      // staging is NOT wiped here: a same-fingerprint stageCheckpoint
+      // re-build resumes from it (the reuse check validates the fp)
     }
     val postingsDir = s"$indexDir/postings/gen=$generation"
     val docmetaDir = s"$indexDir/docmeta/gen=$generation"
@@ -300,6 +307,10 @@ object IndexBuilder {
       postingsBytes = IndexIO.dirBytes(spark, s"$indexDir/postings"),
       docmetaBytes = IndexIO.dirBytes(spark, s"$indexDir/docmeta"))
     IndexIO.writeManifest(spark, indexDir, manifest)
+    // drop STALE staged generations (this one stays reusable for a
+    // same-fingerprint re-build; prior gens would otherwise accumulate
+    // without bound across repeated checkpointed builds into one dir)
+    if (cfg.stageCheckpoint) IndexIO.deleteStaging(spark, indexDir, keepGen = generation)
     phase("manifest")
     new BuiltIndex(indexDir, manifest)
   }

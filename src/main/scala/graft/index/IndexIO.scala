@@ -26,6 +26,29 @@ object IndexIO {
   def delete(spark: SparkSession, path: String): Unit =
     fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
 
+  /** Remove staged stage-1 chunks and their fingerprint markers, EXCEPT the
+    * given generation's (the current build's staging stays reusable for a
+    * same-fingerprint re-build). Called after a successful commit so
+    * repeated checkpointed builds into one dir don't accumulate stale
+    * generations without bound; pass keepGen = -1 to wipe everything. */
+  def deleteStaging(spark: SparkSession, indexDir: String, keepGen: Long = -1L): Unit = {
+    val f = fs(spark, indexDir)
+    val stagingDir = new org.apache.hadoop.fs.Path(s"$indexDir/staging")
+    if (f.exists(stagingDir)) {
+      f.listStatus(stagingDir).foreach { st =>
+        if (st.getPath.getName != s"gen=$keepGen") f.delete(st.getPath, true)
+      }
+    }
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    if (f.exists(dir)) {
+      f.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("staging-gen") && n.endsWith(".fp") && n != s"staging-gen$keepGen.fp")
+          f.delete(st.getPath, false)
+      }
+    }
+  }
+
   def writeText(spark: SparkSession, path: String, text: String): Unit = {
     val out = fs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
@@ -50,12 +73,21 @@ object IndexIO {
     if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
   }
 
+  /** Read the committed manifest, or None. A stale/partial/absent manifest
+    * dir must read as "no index" WITHOUT a Spark error-log spew (a killed
+    * bench JVM can leave a half-written dir; the old read-then-catch path
+    * logged a full AnalysisException stack that polluted the driver's bench
+    * stdout, BENCH_r01 tail). We therefore check for the _SUCCESS commit
+    * marker before asking Spark to read at all — readers fail closed.
+    */
   def readManifest(spark: SparkSession, indexDir: String): Option[Manifest] = {
     import spark.implicits._
+    val dir = manifestPath(indexDir)
+    if (!exists(spark, s"$dir/_SUCCESS")) return None
     try {
-      val ds = spark.read.parquet(manifestPath(indexDir)).as[Manifest]
+      val ds = spark.read.parquet(dir).as[Manifest]
       ds.collect().headOption
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }
 
@@ -69,9 +101,12 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
   def nextDocBase: Long =
     (manifest.segments.map(_.segmentId).max + 1).toLong * manifest.segmentSize
 
-  /** Per-segment posting lists; parquet partitioned by segmentId, files
-    * sorted by term — `filter(col("term") === t)` is answered via parquet
-    * min/max stats + dictionary pushdown (the term-dictionary seek).
+  /** Posting lists under `postings/gen=N/` (one subdir per committed
+    * generation; `gen` is a hive-style partition column). Files are written
+    * by the stage-2 shuffle partitioned on (segmentId, term) and sorted by
+    * (segmentId, term) within each file, so `filter(col("term") === t)` is
+    * answered via parquet row-group min/max stats + dictionary pushdown
+    * (the term-dictionary seek).
     */
   def postings(spark: SparkSession): DataFrame =
     spark.read.parquet(s"$indexDir/postings")

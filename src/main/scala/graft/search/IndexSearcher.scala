@@ -257,6 +257,9 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
         .collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
+      // bound the memo (a long-lived searcher fed unbounded distinct terms
+      // must not grow the driver heap without limit; stats re-fetch is cheap)
+      if (statsCache.size() > (1 << 20)) statsCache.clear()
       missing.foreach(t => statsCache.put(t, fetched.getOrElse(t, (0L, 0L))))
     }
     terms.iterator.map(t => t -> statsCache.get(t)).filter(_._2._1 > 0).toMap

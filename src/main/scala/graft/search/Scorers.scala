@@ -85,9 +85,20 @@ final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
 }
 
 object TermReader {
-  /** 4-ulp inflation making weight·g a certain upper bound of the exact
-    * `w - w/(1+f·c)` despite reassociation. */
+  /** Relative inflation for the weight·g pruning bound. */
   val BoundPad: Double = 1.0 + 4e-16
+  /** Absolute inflation (scaled by weight). The exact score path computes
+    * w - w/(1+f·c) while the bound path computes w·g with g = 1 - 1/(1+f·c);
+    * the two divisions round differently by up to ~eps·(1-g)·w ABSOLUTE,
+    * which exceeds a relative pad on w·g whenever g is small. A
+    * weight-scaled absolute term covers that regime; together the padded
+    * bound w·g·BoundPad + w·AbsPad dominates the exact score for every
+    * (f, c) — safe pruning needs only an upper bound, not tightness. */
+  val AbsPad: Double = 4e-16
+
+  /** The certified upper bound of the exact score given weight and g. */
+  @inline def bound(weight: Double, g: Double): Double =
+    weight * g * BoundPad + weight * AbsPad
 }
 
 /** Posting-list scorer over a shared [[TermReader]]: per-query cursor only.
@@ -112,7 +123,7 @@ final class PostingsScorer(
   def cost: Long = reader.cost
 
   lazy val maxScore: Double =
-    if (!scoring) 0.0 else weight * reader.maxG * TermReader.BoundPad
+    if (!scoring) 0.0 else TermReader.bound(weight, reader.maxG)
 
   /** Upper bound of score() within the block covering `target` (without
     * decoding it) — the `advanceShallow`/`MaxScoreCache` analogue
@@ -120,7 +131,14 @@ final class PostingsScorer(
     */
   def blockMaxScoreUpTo(target: Int): Double = {
     val j = findBlock(math.max(bi, 0), target)
-    if (j >= blocks.length) 0.0 else weight * reader.blockG(j) * TermReader.BoundPad
+    if (j >= blocks.length) 0.0 else TermReader.bound(weight, reader.blockG(j))
+  }
+
+  /** maxDoc of the block covering `target` (the window end for block-max
+    * skipping; NO_MORE when exhausted). Decodes nothing. */
+  def blockEndUpTo(target: Int): Int = {
+    val j = findBlock(math.max(bi, 0), target)
+    if (j >= blocks.length) DISI.NO_MORE else blocks(j).maxDoc
   }
 
   private def findBlock(from: Int, target: Int): Int = {

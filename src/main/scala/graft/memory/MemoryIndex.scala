@@ -75,6 +75,8 @@ final class MemoryIndex(analyzer: Analyzer = Analyzer.standard) {
       eval(s, idf, cache, 1.0, scoring = false).map(_ => if (scoring) boost * b else 0.0)
     case TermInSetQ(ts) =>
       if (ts.exists(tf.contains)) Some(if (scoring) boost else 0.0) else None
+    case MultiTermQ(pred) =>
+      if (tf.keysIterator.exists(pred.matches)) Some(if (scoring) boost else 0.0) else None
     case DisjMaxQ(qs, tb) =>
       val ss = qs.flatMap(eval(_, idf, cache, boost, scoring))
       if (ss.isEmpty) None else Some(ss.max + tb * (ss.sum - ss.max))

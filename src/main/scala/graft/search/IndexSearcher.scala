@@ -46,21 +46,31 @@ object ScorerBuilder {
       build(sub, postings, segDocCount, ctx, 1.0, scoring = false, minCompetitive)
         .map(inner => new ConstantScoreScorer(inner, if (scoring) boost * b else 0.0))
     case TermInSetQ(ts) =>
-      val subs = ts.toArray.flatMap(t => postings.get(t))
-        .map(rd => new PostingsScorer(rd, 0.0, ctx.cache, scoring = false): Scorer)
-      if (subs.isEmpty) None
-      else {
-        val union = if (subs.length == 1) subs(0) else new DisjunctionSumScorer(subs, 1)
-        Some(new ConstantScoreScorer(union, if (scoring) boost else 0.0))
-      }
+      constUnion(ts.toArray.flatMap(t => postings.get(t)), ctx, boost, scoring)
+    case MultiTermQ(pred) =>
+      // the co-grouped rows were already scan-filtered by this predicate;
+      // the exact re-check here only drops rows pulled in by OTHER clauses
+      constUnion(postings.iterator.collect { case (t, rd) if pred.matches(t) => rd }.toArray,
+        ctx, boost, scoring)
     case DisjMaxQ(qs, tb) =>
       val subs = qs.flatMap(build(_, postings, segDocCount, ctx, boost, scoring, neverPrune)).toArray
       if (subs.isEmpty) None
       else if (subs.length == 1) Some(subs(0))
       else Some(new DisjunctionMaxScorer(subs, tb))
     case _: PrefixQ | _: RegexpQ | _: TermRangeQ =>
-      throw new IllegalStateException("multi-term queries must be rewritten against the term dictionary before scoring")
+      throw new IllegalStateException("multi-term queries must be rewritten to MultiTermQ before scoring")
     case b: BoolQ => buildBool(b, postings, segDocCount, ctx, boost, scoring, minCompetitive)
+  }
+
+  /** Constant-score union over term readers (TermInSet / MultiTerm body). */
+  private def constUnion(rds: Array[TermReader], ctx: QueryContext, boost: Double,
+                         scoring: Boolean): Option[Scorer] = {
+    val subs = rds.map(rd => new PostingsScorer(rd, 0.0, ctx.cache, scoring = false): Scorer)
+    if (subs.isEmpty) None
+    else {
+      val union = if (subs.length == 1) subs(0) else new DisjunctionSumScorer(subs, 1)
+      Some(new ConstantScoreScorer(union, if (scoring) boost else 0.0))
+    }
   }
 
   private val neverPrune: () => Double = () => Double.NegativeInfinity
@@ -74,10 +84,16 @@ object ScorerBuilder {
     if ((mustS ++ filtS).exists(_.isEmpty)) return None
     val must = mustS.flatten.toArray
     val filt = filtS.flatten.toArray
+    // block-max pruning is safe only when this conjunction's score IS the
+    // final collected score: no SHOULD clauses can add to it (MUST_NOT and
+    // FILTER only subtract matches, never score). ConstQ subtrees pass
+    // scoring=false, so they never reach here with a live threshold.
+    val conjPrune = if (b.should.isEmpty && scoring) minCompetitive
+                    else ConjunctionScorer.neverPrune
     val req: Option[Scorer] = (must ++ filt) match {
       case Array() => None
       case Array(one) if must.length <= 1 => Some(one)
-      case all => Some(new ConjunctionScorer(all, must))
+      case all => Some(new ConjunctionScorer(all, must, conjPrune))
     }
 
     val msm = math.max(b.minShouldMatch, if (req.isEmpty) 1 else 0)
@@ -174,39 +190,51 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
   private def readers(post: Map[String, TermPostings], ctx: QueryContext): Map[String, TermReader] =
     post.map { case (t, tp) => t -> new TermReader(tp, ctx.cache) }
 
-  /** Resolve the query: normalize + expand PrefixQ against the dictionary. */
+  /** Resolve the query: normalize, then rewrite PrefixQ/RegexpQ/TermRangeQ
+    * into DISTRIBUTED constant-score [[MultiTermQ]]s (Lucene's
+    * CONSTANT_SCORE multi-term rewrite, evaluated against the term
+    * dictionary ON the executors — the driver never sees the expansion;
+    * round-1 collected matching terms to the driver, an unbounded collect
+    * on a billion-term dictionary).
+    */
   def rewrite(spark: SparkSession, q0: Query): Query = {
     val q1 = Query.normalize(q0)
-    val expanded = expandPrefixes(spark, q1)
-    Query.normalize(expanded)
+    Query.normalize(toMultiTerm(q1))
   }
 
-  /** Distinct dictionary terms matching a predicate (predicate pushdown to
-    * the term-sorted parquet does the FST seek's job). */
-  private def dictTerms(spark: SparkSession, pred: org.apache.spark.sql.Column): Set[String] = {
-    import spark.implicits._
-    index.postings(spark).select("term").where(pred).distinct().as[String].collect().toSet
-  }
-
-  private def expandPrefixes(spark: SparkSession, q: Query): Query = q match {
-    case PrefixQ(p) =>
-      // term-dictionary scan with pushdown (StartsWith reaches parquet)
-      ConstQ(TermInSetQ(dictTerms(spark, col("term").startsWith(p))), 1.0)
+  private def toMultiTerm(q: Query): Query = q match {
+    case PrefixQ(p) => ConstQ(MultiTermQ(PrefixPred(p)), 1.0)
     case RegexpQ(p) =>
       // anchored full-match, as Lucene's RegexpQuery automaton semantics
-      ConstQ(TermInSetQ(dictTerms(spark, col("term").rlike(s"^(?:$p)$$"))), 1.0)
+      // (RegexPred.matches uses Matcher.matches — whole-string — so the
+      // raw pattern needs no explicit anchors)
+      ConstQ(MultiTermQ(RegexPred(p)), 1.0)
     case TermRangeQ(lo, hi, incLo, incHi) =>
+      ConstQ(MultiTermQ(RangePred(lo, hi, incLo, incHi)), 1.0)
+    case BoolQ(m, s, f, n, msm) =>
+      BoolQ(m.map(toMultiTerm), s.map(toMultiTerm), f.map(toMultiTerm), n.map(toMultiTerm), msm)
+    case BoostQ(sub, b) => BoostQ(toMultiTerm(sub), b)
+    case ConstQ(sub, b) => ConstQ(toMultiTerm(sub), b)
+    case DisjMaxQ(qs, tb) => DisjMaxQ(qs.map(toMultiTerm), tb)
+    case other => other
+  }
+
+  /** Catalyst translation of a [[TermPredicate]] for the posting-scan
+    * pushdown. Prefix/range push to parquet row-group stats directly; a
+    * regex pushes its literal prefix (row-group skip) and evaluates the
+    * full anchored match post-scan — kernel-side `matches` re-checks
+    * exactly either way.
+    */
+  private def predColumn(p: TermPredicate): org.apache.spark.sql.Column = p match {
+    case PrefixPred(pre) => col("term").startsWith(pre)
+    case RangePred(lo, hi, incLo, incHi) =>
       val loP = lo.map(v => if (incLo) col("term") >= v else col("term") > v)
       val hiP = hi.map(v => if (incHi) col("term") <= v else col("term") < v)
-      val pred = (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
-      ConstQ(TermInSetQ(dictTerms(spark, pred)), 1.0)
-    case BoolQ(m, s, f, n, msm) =>
-      BoolQ(m.map(expandPrefixes(spark, _)), s.map(expandPrefixes(spark, _)),
-        f.map(expandPrefixes(spark, _)), n.map(expandPrefixes(spark, _)), msm)
-    case BoostQ(sub, b) => BoostQ(expandPrefixes(spark, sub), b)
-    case ConstQ(sub, b) => ConstQ(expandPrefixes(spark, sub), b)
-    case DisjMaxQ(qs, tb) => DisjMaxQ(qs.map(expandPrefixes(spark, _)), tb)
-    case other => other
+      (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    case r @ RegexPred(pat) =>
+      val full = col("term").rlike(s"^(?:$pat)$$")
+      val pre = r.literalPrefix
+      if (pre.nonEmpty) col("term").startsWith(pre) && full else full
   }
 
   /** Fetch stored fields for hits — the `IndexReader.Document(docID)`
@@ -302,6 +330,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
                   maxLocalPostings: Long = 5000000L): Array[ScoredDoc] = {
     import spark.implicits._
     val q = rewrite(spark, q0)
+    if (q.termPreds.nonEmpty) return search(spark, q, k).collect() // multi-term: stay distributed
     val stats = termStats(spark, q.terms) // one stats job; ctx derives from it
     val ctx = queryContextFor(stats)
     val totalPostings = stats.values.map(_._1).sum
@@ -342,8 +371,9 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     import spark.implicits._
     val normed = queries.map { case (id, q) => id -> rewrite(spark, q) }
     val allTerms = normed.flatMap(_._2.terms).toSet
+    val allPreds = normed.flatMap(_._2.termPreds).toSet
     // one parquet read serves both the stats job and the kernel job
-    val rows = postingRows(spark, allTerms)
+    val rows = postingRows(spark, allTerms, allPreds)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val stats = rows.groupBy("term")
@@ -408,16 +438,23 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
   private def cogroupLeaves[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
       spark: SparkSession, segsDs: Dataset[SegmentMeta], q: Query)(
       kernel: (SegmentMeta, Map[String, TermPostings]) => Iterator[T]): Dataset[T] =
-    runSegments(spark, postingRows(spark, q.terms))(kernel)
+    runSegments(spark, postingRows(spark, q.terms, q.termPreds))(kernel)
 
-  /** Query-term posting rows: only the query terms' rows leave the parquet
-    * scan (term pushdown), so the shuffle is |terms| x |segments| rows
-    * regardless of corpus size.
+  /** Query-term posting rows: only the query terms' (and multi-term
+    * predicates') rows leave the parquet scan (term pushdown), so the
+    * shuffle is |matching terms| x |segments| rows regardless of corpus
+    * size. Predicates stay distributed end to end — never collected.
     */
-  private def postingRows(spark: SparkSession, terms: Set[String]): Dataset[TermPostings] = {
+  private def postingRows(spark: SparkSession, terms: Set[String],
+                          preds: Set[TermPredicate] = Set.empty): Dataset[TermPostings] = {
     import spark.implicits._
-    if (terms.isEmpty) spark.emptyDataset[TermPostings]
-    else index.postings(spark).where(col("term").isin(terms.toSeq: _*)).as[TermPostings]
+    val clauses =
+      (if (terms.isEmpty) Nil else Seq(col("term").isin(terms.toSeq: _*))) ++
+        preds.toSeq.map(predColumn)
+    clauses.reduceOption(_ || _) match {
+      case None => spark.emptyDataset[TermPostings]
+      case Some(where) => index.postings(spark).where(where).as[TermPostings]
+    }
   }
 
   /** Run a per-segment kernel with EXACTLY one segment per task, via an

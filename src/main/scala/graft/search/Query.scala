@@ -23,6 +23,17 @@ sealed trait Query {
     case DisjMaxQ(qs, _)     => qs.flatMap(_.terms).toSet
     case _                   => Set.empty
   }
+
+  /** All term-dictionary predicates the query carries (distributed
+    * multi-term rewrites) — unioned into the posting-scan pushdown. */
+  def termPreds: Set[TermPredicate] = this match {
+    case MultiTermQ(p)        => Set(p)
+    case BoolQ(m, s, f, n, _) => (m ++ s ++ f ++ n).flatMap(_.termPreds).toSet
+    case BoostQ(q, _)         => q.termPreds
+    case ConstQ(q, _)         => q.termPreds
+    case DisjMaxQ(qs, _)      => qs.flatMap(_.termPreds).toSet
+    case _                    => Set.empty
+  }
 }
 
 final case class TermQ(term: String) extends Query
@@ -54,6 +65,50 @@ final case class RegexpQ(pattern: String) extends Query
   * constant score. `None` bound = open. */
 final case class TermRangeQ(lo: Option[String], hi: Option[String],
                             includeLo: Boolean = true, includeHi: Boolean = true) extends Query
+
+/** A term-dictionary predicate that travels WITH the query to the executors
+  * instead of being expanded on the driver. Each variant has two faces:
+  * [[matches]] (exact kernel-side semantics) and a Catalyst translation in
+  * `IndexSearcher.predColumn` (scan pushdown). This keeps multi-term rewrites
+  * fully distributed — a `PrefixQ("a")` over a billion-term dictionary never
+  * collects terms to the driver (the driver-collect + isin path was the
+  * round-1 scale hazard).
+  */
+sealed trait TermPredicate extends Serializable {
+  def matches(term: String): Boolean
+}
+final case class PrefixPred(prefix: String) extends TermPredicate {
+  def matches(t: String): Boolean = t.startsWith(prefix)
+}
+final case class RangePred(lo: Option[String], hi: Option[String],
+                           includeLo: Boolean, includeHi: Boolean) extends TermPredicate {
+  def matches(t: String): Boolean = {
+    val okLo = lo.forall(v => if (includeLo) t >= v else t > v)
+    val okHi = hi.forall(v => if (includeHi) t <= v else t < v)
+    okLo && okHi
+  }
+}
+final case class RegexPred(pattern: String) extends TermPredicate {
+  // compiled once per task (the closure ships only the string)
+  @transient private lazy val re = java.util.regex.Pattern.compile(pattern)
+  def matches(t: String): Boolean = re.matcher(t).matches()
+  /** Longest literal prefix of the pattern (chars up to the first regex
+    * metachar) — pushed to the scan as a startsWith so the term-sorted
+    * parquet skips row groups even for regexes. */
+  def literalPrefix: String = {
+    val meta = ".?*+()[]{}|^$\\"
+    pattern.takeWhile(c => !meta.contains(c))
+  }
+}
+
+/** The rewritten form of PrefixQ/RegexpQ/TermRangeQ (MultiTermQuery
+  * CONSTANT_SCORE rewrite, Lucene 8.11 semantics — the reference's stubs,
+  * `core/search/prefixquery.go:3`, `core/search/termrangequery.go:3`):
+  * matches every doc containing >= 1 dictionary term satisfying `pred`,
+  * constant score. Like Lucene's bitset rewrite it has NO clause cap —
+  * and unlike a TermInSet expansion it is evaluated distributed, so there
+  * is nothing to cap. */
+final case class MultiTermQ(pred: TermPredicate) extends Query
 
 object Query {
   /** Reference clause cap (`core/search/booleanquery.go:22-26` maxClauseCount). */

@@ -231,8 +231,19 @@ final class ConstantScoreScorer(inner: Scorer, boost: Double) extends Scorer {
   * (`core/search/conjunctionscorer.go`, cost ordering
   * `conjunctiondisi.go:23-31`). score = sum of the SCORING subset (FILTER
   * clauses iterate but contribute 0, `core/search/booleanweight.go`).
+  *
+  * Block-max pruning (the reference's `BlockMaxConjunctionScorer`,
+  * `core/search/blockmaxconjunctionscorer.go:24-60,189-260`): when the
+  * collector's threshold exceeds the sum of the clauses' CURRENT-block upper
+  * bounds, the whole window up to the earliest block boundary is skipped
+  * without decoding. Only enabled (minCompetitive != -inf) when this
+  * conjunction's score IS the collected score — a pure-MUST/FILTER query —
+  * so pruning is provably safe: a skipped doc's score is bounded by the
+  * padded block sum, which did not beat the current worst top-k hit.
   */
-final class ConjunctionScorer(allSubs: Array[Scorer], scoringSubs: Array[Scorer]) extends Scorer {
+final class ConjunctionScorer(allSubs: Array[Scorer], scoringSubs: Array[Scorer],
+                              minCompetitive: () => Double = ConjunctionScorer.neverPrune)
+    extends Scorer {
   private val subs = allSubs.sortBy(_.cost) // lead = cheapest
   private var cur = -1
 
@@ -240,20 +251,54 @@ final class ConjunctionScorer(allSubs: Array[Scorer], scoringSubs: Array[Scorer]
   def cost: Long = subs.map(_.cost).min
   lazy val maxScore: Double = scoringSubs.map(_.maxScore).sum
 
+  /** Upper bound of score() within the blocks covering `target`, and the
+    * earliest covered block end — computed WITHOUT decoding. */
+  private def blockBoundAndEnd(target: Int): (Double, Int) = {
+    var bound = 0.0
+    var end = DISI.NO_MORE
+    var j = 0
+    while (j < scoringSubs.length) {
+      scoringSubs(j) match {
+        case p: PostingsScorer =>
+          bound += p.blockMaxScoreUpTo(target)
+          val e = p.blockEndUpTo(target)
+          if (e < end) end = e
+        case s => bound += s.maxScore
+      }
+      j += 1
+    }
+    (bound, end)
+  }
+
   private def doNext(target0: Int): Int = {
     var target = target0
-    var advanced = true
-    while (advanced && target != DISI.NO_MORE) {
-      advanced = false
-      var j = 0
-      while (j < subs.length && !advanced) {
-        val s = subs(j)
-        if (s.docId < target) {
-          val d = s.advance(target)
-          if (d > target) { target = d; advanced = true }
-        } else if (s.docId > target) { target = s.docId; advanced = true }
-        j += 1
+    while (target != DISI.NO_MORE) {
+      // leapfrog to agreement on `target`
+      var advanced = true
+      while (advanced && target != DISI.NO_MORE) {
+        advanced = false
+        var j = 0
+        while (j < subs.length && !advanced) {
+          val s = subs(j)
+          if (s.docId < target) {
+            val d = s.advance(target)
+            if (d > target) { target = d; advanced = true }
+          } else if (s.docId > target) { target = s.docId; advanced = true }
+          j += 1
+        }
       }
+      if (target == DISI.NO_MORE) { cur = target; return cur }
+      // block-max check: can any doc in the current window be competitive?
+      val theta = minCompetitive()
+      if (theta == Double.NegativeInfinity) { cur = target; return cur }
+      val (bound, windowEnd) = blockBoundAndEnd(target)
+      if (bound > theta) { cur = target; return cur }
+      // the whole window [target, windowEnd] is non-competitive
+      target = if (windowEnd == DISI.NO_MORE) DISI.NO_MORE else windowEnd + 1
+      if (target != DISI.NO_MORE) subs(0).advance(target)
+      else { cur = DISI.NO_MORE; return cur }
+      // re-enter the loop from the lead's new position
+      target = subs(0).docId
     }
     cur = target
     cur
@@ -275,6 +320,10 @@ final class ConjunctionScorer(allSubs: Array[Scorer], scoringSubs: Array[Scorer]
     while (j < scoringSubs.length) { s += scoringSubs(j).score(); j += 1 }
     s
   }
+}
+
+object ConjunctionScorer {
+  val neverPrune: () => Double = () => Double.NegativeInfinity
 }
 
 /** Exhaustive disjunction-sum with minShouldMatch

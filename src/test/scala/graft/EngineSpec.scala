@@ -168,6 +168,37 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("block-max pruning safety: k=1 (max pruning pressure) rank-identical to oracle") {
+    // k=1 drives the collector threshold to its highest values fastest,
+    // maximizing both WAND and block-max-conjunction skip opportunities —
+    // any unsafe bound shows up here first
+    refQueries.foreach { case (name, q) =>
+      val got = searcher.search(spark, q, 1).collect().map(s => (s.docId, s.score)).toSeq
+      val want = Oracle.topK(corpus, q, 1)
+      assert(got == want, s"k=1 query $name mismatch:\n got=$got\nwant=$want")
+    }
+  }
+
+  test("multi-term queries run distributed (MultiTermQ) and match the oracle") {
+    val k = 15
+    val qs: Seq[(String, Query)] = Seq(
+      // a prefix matching ~800 dictionary terms: the round-1 driver-collect
+      // path would have shipped them all in an isin closure; the rewrite now
+      // keeps the expansion on the executors
+      "broad_prefix" -> PrefixQ("id_"),
+      "empty_prefix_all_terms" -> PrefixQ(""),
+      "regex" -> RegexpQ("id_1.?"),
+      "range" -> TermRangeQ(Some("fn1"), Some("fn5"), includeLo = true, includeHi = false),
+      "mixed_scored" -> BoolQ(must = Seq(TermQ("import")), should = Seq(PrefixQ("id_7"))),
+      "prefix_filter" -> BoolQ(must = Seq(TermQ("def")), filter = Seq(PrefixQ("fn"))))
+    qs.foreach { case (name, q) =>
+      val got = searcher.search(spark, q, k).collect().map(s => (s.docId, s.score)).toSeq
+      val want = Oracle.topK(corpus, q, k)
+      assert(got == want, s"query $name mismatch:\n got=$got\nwant=$want")
+      assert(searcher.count(spark, q) == Oracle.count(corpus, q), s"count $name mismatch")
+    }
+  }
+
   test("count matches oracle (incl. O(1) shortcuts)") {
     assert(searcher.count(spark, MatchAllQ) == corpus.size)
     assert(searcher.count(spark, TermQ("import")) == Oracle.count(corpus, TermQ("import")))

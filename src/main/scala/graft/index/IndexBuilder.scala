@@ -13,11 +13,15 @@ import graft.codec.ForBlock
   * postings of one (segment, term, salt). Doc-sentinel rows (one per doc,
   * emitted even for empty docs): `term == null`, `norm` = field length,
   * `sha` = sha256(content) (per-row invariant, BASELINE.json input_hint).
+  * `firstDoc` (postings rows) = first localDoc of the row's postings: the
+  * stage-2 tiebreak that keeps concatenation in docId order when ONE chunk
+  * was split across input partitions (assumeContiguous path — partial
+  * chunks share (segment, term, salt) but cover disjoint ascending ranges).
   */
 final case class Stage1Row(
     segmentId: Int, term: String, salt: Int,
     docFreq: Int, totalTermFreq: Long, blocks: Array[PostingBlock],
-    localDoc: Int, norm: Int, sha: String)
+    localDoc: Int, norm: Int, sha: String, firstDoc: Int)
 
 final case class DocMeta(segmentId: Int, docId: Long, norm: Int, sha: String)
 
@@ -41,13 +45,26 @@ final case class DocMeta(segmentId: Int, docId: Long, norm: Int, sha: String)
   *                      path for large corpora (re-runs restart from the
   *                      flushed chunks, not from raw text)
   * @param stopWords     analyzer stop set (reference default: empty)
+  * @param assumeContiguous ZERO-SHUFFLE stage 1: the caller asserts the
+  *                      input is already docId-range-partitioned (each
+  *                      input partition holds a contiguous ascending docId
+  *                      range, ranges pairwise disjoint). Stage 1 then
+  *                      inverts each partition in place — a narrow map, no
+  *                      raw-text shuffle (at 100 TB the stage-1 shuffle is
+  *                      the single largest data movement of the default
+  *                      path). Sortedness is verified per partition as the
+  *                      stream flows; cross-partition disjointness is
+  *                      verified by the stage-2 merge (ascending-firstDoc
+  *                      invariant) — violations fail the build rather than
+  *                      corrupt it.
   */
 final case class BuildConfig(
     numSegments: Int = 8,
     chunkDocs: Int = 1 << 13,
     outputPartitions: Option[Int] = None,
     stageCheckpoint: Boolean = false,
-    stopWords: Set[String] = Set.empty)
+    stopWords: Set[String] = Set.empty,
+    assumeContiguous: Boolean = false)
 
 /** Spark-native inverted-index builder (SURVEY.md §7 modules 3-4).
   *
@@ -214,14 +231,32 @@ object IndexBuilder {
     // stage needs (the survey's sanctioned per-partition imperative escape).
     val numChunks = (maxIdRow / chunkDocs) + 1 // upper bound on distinct chunk ids
     val stage1Parts = math.min(outParts.toLong, math.max(1L, numChunks)).toInt
-    val partitioner = new org.apache.spark.Partitioner {
-      def numPartitions: Int = stage1Parts
-      def getPartition(key: Any): Int =
-        ((key.asInstanceOf[Long] / chunkDocs) % stage1Parts).toInt
-    }
-    val chunkedRdd = input.rdd
-      .repartitionAndSortWithinPartitions(partitioner)
-      .mapPartitions(it => invertChunks(it, analyzer, segSizeL, chunkDocs))
+    val chunkedRdd =
+      if (cfg.assumeContiguous) {
+        // zero-shuffle path: each input partition is (asserted) a sorted
+        // contiguous docId range — invert in place. A chunk that straddles a
+        // partition boundary yields two partial rows; stage 2 re-orders them
+        // by firstDoc and asserts their ranges don't interleave.
+        input.rdd.mapPartitions { it =>
+          var last = Long.MinValue
+          val checked = it.map { kv =>
+            require(kv._1 > last,
+              s"assumeContiguous violated: docId ${kv._1} after $last within a partition")
+            last = kv._1
+            kv
+          }
+          invertChunks(checked, analyzer, segSizeL, chunkDocs)
+        }
+      } else {
+        val partitioner = new org.apache.spark.Partitioner {
+          def numPartitions: Int = stage1Parts
+          def getPartition(key: Any): Int =
+            ((key.asInstanceOf[Long] / chunkDocs) % stage1Parts).toInt
+        }
+        input.rdd
+          .repartitionAndSortWithinPartitions(partitioner)
+          .mapPartitions(it => invertChunks(it, analyzer, segSizeL, chunkDocs))
+      }
     val chunked: Dataset[Stage1Row] = spark.createDataset(chunkedRdd)
 
     // With stageCheckpoint the flushed chunks are durable and fingerprinted:
@@ -252,9 +287,11 @@ object IndexBuilder {
     phase("stage1+docmeta")
 
     // ---- stage 2: salted sort-merge of chunk blocks (≙ SegmentMerger) ---
+    // (salt asc, firstDoc asc) == docId asc: firstDoc only differs for
+    // partial chunks of the assumeContiguous path, which share a salt
     val merged: Dataset[TermPostings] = staged.filter(_.term != null)
       .repartition(outParts, $"segmentId", $"term")
-      .sortWithinPartitions($"segmentId", $"term", $"salt")
+      .sortWithinPartitions($"segmentId", $"term", $"salt", $"firstDoc")
       .mapPartitions(mergeChunks _)
     merged.write.mode("overwrite").parquet(postingsDir)
     phase("stage2-merge")
@@ -370,7 +407,7 @@ object IndexBuilder {
               b.add(local, e.getValue, nb)
             }
             docRows += Stage1Row(seg, null, salt, 0, 0L, null, local, len,
-              sha256Hex(if (content == null) "" else content))
+              sha256Hex(if (content == null) "" else content), firstDoc = local)
           }
         }
         val postRows = new scala.collection.mutable.ArrayBuffer[Stage1Row](terms.size)
@@ -381,7 +418,8 @@ object IndexBuilder {
           val docsA = java.util.Arrays.copyOf(b.docs, b.n)
           val freqsA = java.util.Arrays.copyOf(b.freqs, b.n)
           val normsA = java.util.Arrays.copyOf(b.norms, b.n)
-          postRows += Stage1Row(seg, t, salt, b.n, ttf, buildBlocks(docsA, freqsA, normsA), -1, 0, null)
+          postRows += Stage1Row(seg, t, salt, b.n, ttf, buildBlocks(docsA, freqsA, normsA),
+            -1, 0, null, firstDoc = docsA(0))
         }
         postRows.iterator ++ docRows.result().iterator
       }
@@ -413,9 +451,13 @@ object IndexBuilder {
     out.result()
   }
 
-  /** Streaming merge: chunk rows sorted by (seg, term, salt); salt order ==
-    * docId order (salt = localDoc / chunkDocs), so concatenating block
-    * arrays preserves ascending docIds — the Lucene merge invariant.
+  /** Streaming merge: chunk rows sorted by (seg, term, salt, firstDoc);
+    * (salt, firstDoc) order == docId order (salt = localDoc / chunkDocs;
+    * firstDoc orders partial chunks of the assumeContiguous path), so
+    * concatenating block arrays preserves ascending docIds — the Lucene
+    * merge invariant. The ascending invariant is ASSERTED here: overlapping
+    * input partitions (a violated assumeContiguous contract) fail the build
+    * instead of committing a corrupt index.
     */
   private def mergeChunks(it: Iterator[Stage1Row]): Iterator[TermPostings] = {
     new Iterator[TermPostings] {
@@ -426,10 +468,16 @@ object IndexBuilder {
         val (seg, term) = (h.segmentId, h.term)
         var df = 0
         var ttf = 0L
+        var lastMax = -1
         val blocks = Array.newBuilder[PostingBlock]
         while (buf.hasNext && buf.head.segmentId == seg && buf.head.term == term) {
           val c = buf.next()
+          require(c.firstDoc > lastMax,
+            s"posting merge invariant violated for term '$term' seg $seg: " +
+              s"chunk first doc ${c.firstDoc} <= previous max $lastMax " +
+              "(overlapping input partitions under assumeContiguous?)")
           df += c.docFreq; ttf += c.totalTermFreq; blocks ++= c.blocks
+          lastMax = c.blocks(c.blocks.length - 1).maxDoc
         }
         TermPostings(seg, term, df, ttf, blocks.result())
       }

@@ -313,6 +313,36 @@ class EngineSpec extends AnyFunSuite {
     assert(got == matching)
   }
 
+  test("assumeContiguous zero-shuffle build: identical results to the shuffled path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contig").toString
+    // range-partitioned + sorted input — the contract the flag asserts
+    val df = spark.createDataset(corpus).repartitionByRange(4, $"_1")
+      .sortWithinPartitions("_1").toDF("doc_id", "content")
+    val idx = IndexBuilder.build(spark, df, "doc_id", "content", dir,
+      BuildConfig(numSegments = 5, chunkDocs = 128, assumeContiguous = true))
+    assert(idx.stats == index.stats, "collection stats must match the shuffled build")
+    val s2 = new IndexSearcher(idx)
+    refQueries.take(12).foreach { case (name, q) =>
+      val a = searcher.search(spark, q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      val b = s2.search(spark, q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      assert(a == b, s"contiguous-path mismatch on $name")
+    }
+  }
+
+  test("assumeContiguous with UNSORTED input fails the build (no corrupt commit)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contig-bad").toString
+    val shuffled = spark.createDataset(scala.util.Random.shuffle(corpus)).coalesce(2)
+      .toDF("doc_id", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      IndexBuilder.build(spark, shuffled, "doc_id", "content", dir,
+        BuildConfig(numSegments = 5, chunkDocs = 128, assumeContiguous = true))
+    }
+    assert(e.getMessage != null)
+    assert(graft.index.IndexIO.readManifest(spark, dir).isEmpty, "no manifest committed")
+  }
+
   test("stageCheckpoint build: staged parquet path produces an identical index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

@@ -51,6 +51,23 @@ object SparkEntry {
   private def index(spark: SparkSession, sfDir: String): BuiltIndex =
     searcher(spark, sfDir).index
 
+  /** A SEPARATE index copy with docs containing "dup" tombstoned — the
+    * delete-by-term lifecycle (IndexOps.deleteByQuery). Idempotent: a
+    * reloaded index re-deletes to a no-op (matchingDocs applies tombstones).
+    */
+  private def deletedSearcher(spark: SparkSession, sfDir: String): IndexSearcher =
+    cached.synchronized {
+      cached.getOrElseUpdate(s"$sfDir#del", {
+        val docsPath = s"$sfDir/documents.parquet"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val docs = spark.read.parquet(docsPath)
+        IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
+          BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = docsPath)
+        val idx = graft.index.IndexOps.deleteByTerm(spark, indexDir, "dup")
+        new IndexSearcher(idx)
+      })
+    }
+
   /** Top-k hits as (doc_id, score-rounded-6dp), ordered score desc, doc_id asc. */
   private def topk(q: Query, k: Int)(spark: SparkSession, sfDir: String): DataFrame =
     searcher(spark, sfDir).search(spark, q, k)
@@ -151,6 +168,21 @@ object SparkEntry {
         .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "doc_id")
+    }),
+    // delete-by-term lifecycle: docs containing "dup" tombstoned, then a
+    // normal search — deleted docs must vanish from hits while the BM25
+    // statistics stay those of the full corpus (Lucene delete semantics:
+    // docFreq is not adjusted until merge). Exercises the tombstone
+    // generation + kernel live-docs anti-join, NOT a query-time MUST_NOT.
+    "q30_after_delete" -> ((spark: SparkSession, sfDir: String) =>
+      deletedSearcher(spark, sfDir).search(spark, TermQ("join"), 10)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))),
+    // count on the tombstoned index: MatchAll stays O(1) via deletedCount
+    "q31_count_after_delete" -> ((spark: SparkSession, sfDir: String) => {
+      import spark.implicits._
+      val s = deletedSearcher(spark, sfDir)
+      Seq((s.count(spark, MatchAllQ), s.count(spark, TermQ("spark"))))
+        .toDF("live_docs", "spark_hits")
     }),
     // PointRangeQuery analogue: BM25 matches + numeric doc-value range filter
     "q22_point_range" -> ((spark: SparkSession, sfDir: String) => {
@@ -301,6 +333,17 @@ object SparkEntry {
          |                 LEFT JOIN h3 USING (doc_id))
          |SELECT doc_id, round(s, 6) AS score FROM hits WHERE m >= 2
          |ORDER BY s DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q30_after_delete" ->
+      s"""$base, h1 AS (${hits("join")}),
+         |hits AS (SELECT doc_id, s FROM h1
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM sc WHERE term = 'dup'))
+         |${top(10)}""".stripMargin,
+    "q31_count_after_delete" ->
+      s"""$base SELECT
+         |  (SELECT count(*) FROM documents)
+         |    - (SELECT count(DISTINCT doc_id) FROM sc WHERE term = 'dup') AS live_docs,
+         |  (SELECT count(*) FROM sc WHERE term = 'spark'
+         |     AND doc_id NOT IN (SELECT doc_id FROM sc WHERE term = 'dup')) AS spark_hits""".stripMargin,
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
     "q24_pure_negative" ->

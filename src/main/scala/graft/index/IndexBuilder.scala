@@ -342,7 +342,10 @@ object IndexBuilder {
       stats = stats, segments = segs,
       corpusSha = corpusSha,
       postingsBytes = IndexIO.dirBytes(spark, s"$indexDir/postings"),
-      docmetaBytes = IndexIO.dirBytes(spark, s"$indexDir/docmeta"))
+      docmetaBytes = IndexIO.dirBytes(spark, s"$indexDir/docmeta"),
+      // appends preserve committed tombstones (update = delete + append)
+      deleteGen = prev.map(_.deleteGen).getOrElse(0L),
+      deletedCount = prev.map(_.deletedCount).getOrElse(0L))
     IndexIO.writeManifest(spark, indexDir, manifest)
     // drop STALE staged generations (this one stays reusable for a
     // same-fingerprint re-build; prior gens would otherwise accumulate

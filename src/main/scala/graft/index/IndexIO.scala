@@ -114,4 +114,15 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
   /** (segmentId, docId, norm, sha) — norms + the per-row sha256 invariant. */
   def docmeta(spark: SparkSession): DataFrame =
     spark.read.parquet(s"$indexDir/docmeta")
+
+  /** Committed tombstones (segmentId, localDoc); empty when the index has
+    * no deletes. Only generations <= manifest.deleteGen are read, so an
+    * orphan dir from a crashed delete op never leaks into queries. */
+  def deleteRows(spark: SparkSession): org.apache.spark.sql.Dataset[DeleteRow] = {
+    import spark.implicits._
+    if (manifest.deletedCount == 0L) spark.emptyDataset[DeleteRow]
+    else spark.read.parquet(s"$indexDir/deletes")
+      .where(org.apache.spark.sql.functions.col("gen") <= manifest.deleteGen)
+      .select($"segmentId", $"localDoc").as[DeleteRow]
+  }
 }

@@ -95,5 +95,18 @@ final case class Manifest(
     segments: Seq[SegmentMeta],
     corpusSha: String,
     postingsBytes: Long = 0L, // on-disk size of the postings parquet (north-rule metric)
-    docmetaBytes: Long = 0L
+    docmetaBytes: Long = 0L,
+    // ---- deletes (IndexWriter.DeleteDocuments / UpdateDocument analogue,
+    // `core/index/indexwriter.go:416`, `codecs/simpletext/livedocsformat.go`):
+    // tombstone parquet generations under deletes/gen=K. Only generations
+    // K <= deleteGen are committed — an orphan dir from a crashed delete op
+    // is invisible to readers (fail-closed) and overwritten on retry.
+    // Collection/term statistics are NOT adjusted for deleted docs, exactly
+    // like Lucene before segments merge away their tombstones.
+    deleteGen: Long = 0L,
+    deletedCount: Long = 0L
 )
+
+/** One tombstone: a deleted doc addressed segment-locally (the live-docs
+  * bitset analogue, applied at query time as a ReqExcl anti-join). */
+final case class DeleteRow(segmentId: Int, localDoc: Int)

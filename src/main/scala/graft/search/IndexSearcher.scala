@@ -133,13 +133,22 @@ object ScorerBuilder {
   * `IndexSearcher.SearchLeaves`, `core/search/indexsearcher.go:376-392`).
   */
 object SegmentKernel {
+
+  /** Apply the segment's live-docs: tombstoned local ids are excluded via a
+    * ReqExcl anti-join over the scorer tree (`core/search/weight.go:189-236`
+    * live-docs semantics — scores of surviving docs are untouched). */
+  private def live(s: Scorer, deleted: Array[Int]): Scorer =
+    if (deleted.isEmpty) s else new ReqExclScorer(s, new IntArrayScorer(deleted))
+
   def topK(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
-           ctx: QueryContext, k: Int, after: Option[(Double, Long)]): Iterator[ScoredDoc] = {
+           ctx: QueryContext, k: Int, after: Option[(Double, Long)],
+           deleted: Array[Int] = Array.emptyIntArray): Iterator[ScoredDoc] = {
     val collector = new TopKCollector(k, seg.docBase, after)
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = true,
         () => collector.minCompetitive) match {
       case None => Iterator.empty
-      case Some(s) =>
+      case Some(s0) =>
+        val s = live(s0, deleted)
         var d = s.nextDoc()
         while (d != DISI.NO_MORE) {
           collector.collect(d, s.score())
@@ -150,11 +159,12 @@ object SegmentKernel {
   }
 
   def count(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
-            ctx: QueryContext): Long = {
+            ctx: QueryContext, deleted: Array[Int] = Array.emptyIntArray): Long = {
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = false,
         () => Double.NegativeInfinity) match {
       case None => 0L
-      case Some(s) =>
+      case Some(s0) =>
+        val s = live(s0, deleted)
         var n = 0L
         var d = s.nextDoc()
         while (d != DISI.NO_MORE) { n += 1; d = s.nextDoc() }
@@ -164,14 +174,16 @@ object SegmentKernel {
 
   /** All matching docs with scores (exhaustive; for oracles & set ops). */
   def scoreAll(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
-               ctx: QueryContext): Iterator[ScoredDoc] = {
-    ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = true,
+               ctx: QueryContext, deleted: Array[Int] = Array.emptyIntArray,
+               scoring: Boolean = true): Iterator[ScoredDoc] = {
+    ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = scoring,
         () => Double.NegativeInfinity) match {
       case None => Iterator.empty
-      case Some(s) =>
+      case Some(s0) =>
+        val s = live(s0, deleted)
         Iterator.continually {
           val d = s.nextDoc()
-          if (d == DISI.NO_MORE) null else ScoredDoc(seg.docBase + d, s.score())
+          if (d == DISI.NO_MORE) null else ScoredDoc(seg.docBase + d, if (scoring) s.score() else 0.0)
         }.takeWhile(_ != null)
     }
   }
@@ -310,8 +322,8 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     import spark.implicits._
     val q = rewrite(spark, q0)
     val ctx = queryContext(spark, q)
-    val perLeaf = runLeaves(spark, q) { (seg, post) =>
-      SegmentKernel.topK(q, readers(post, ctx), seg, ctx, k, after)
+    val perLeaf = runLeaves(spark, q) { (seg, post, del) =>
+      SegmentKernel.topK(q, readers(post, ctx), seg, ctx, k, after, del)
     }
     perLeaf.orderBy($"score".desc, $"docId".asc).limit(k).as[ScoredDoc]
   }
@@ -330,7 +342,10 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
                   maxLocalPostings: Long = 5000000L): Array[ScoredDoc] = {
     import spark.implicits._
     val q = rewrite(spark, q0)
-    if (q.termPreds.nonEmpty) return search(spark, q, k).collect() // multi-term: stay distributed
+    // multi-term and tombstoned indexes stay distributed (deletes would need
+    // a live-docs fetch; correctness first, the fast path is an optimization)
+    if (q.termPreds.nonEmpty || index.manifest.deletedCount > 0L)
+      return search(spark, q, k).collect()
     val stats = termStats(spark, q.terms) // one stats job; ctx derives from it
     val ctx = queryContextFor(stats)
     val totalPostings = stats.values.map(_._1).sum
@@ -383,10 +398,10 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       val ctx = QueryContext(
         stats.map { case (t, df) => t -> Bm25.idf(df, n) },
         Bm25.buildCache(index.stats.avgdl), n)
-      val perLeaf: Dataset[QueryHit] = runSegments(spark, rows) { (seg, post) =>
+      val perLeaf: Dataset[QueryHit] = runSegments(spark, rows) { (seg, post, del) =>
         val rds = readers(post, ctx) // decode memo shared across ALL queries of the batch
         normed.iterator.flatMap { case (id, q) =>
-          SegmentKernel.topK(q, rds, seg, ctx, k, None)
+          SegmentKernel.topK(q, rds, seg, ctx, k, None, del)
             .map(sd => QueryHit(id, sd.docId, sd.score))
         }
       }
@@ -403,29 +418,44 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
   def scoreAll(spark: SparkSession, q0: Query): Dataset[ScoredDoc] = {
     val q = rewrite(spark, q0)
     val ctx = queryContext(spark, q)
-    runLeaves(spark, q)((seg, post) => SegmentKernel.scoreAll(q, readers(post, ctx), seg, ctx))
+    runLeaves(spark, q)((seg, post, del) =>
+      SegmentKernel.scoreAll(q, readers(post, ctx), seg, ctx, del))
+  }
+
+  /** Matching docIds only (no scoring work) — the delete-by-query feed. */
+  def matchingDocs(spark: SparkSession, q0: Query): Dataset[ScoredDoc] = {
+    val q = rewrite(spark, q0)
+    val ctx = queryContext(spark, q)
+    runLeaves(spark, q)((seg, post, del) =>
+      SegmentKernel.scoreAll(q, readers(post, ctx), seg, ctx, del, scoring = false))
   }
 
   /** Hit count with the reference's O(1) shortcuts
-    * (`core/search/indexsearcher.go:91-133`). */
+    * (`core/search/indexsearcher.go:91-133`). Stats-derived shortcuts are
+    * only valid for an index with no tombstones (docFreq is NOT adjusted on
+    * delete, Lucene parity) — with deletes, term counts go through the
+    * kernel; MatchAll stays O(1) because deletedCount is exact (tombstones
+    * are deduplicated at write).
+    */
   def count(spark: SparkSession, q0: Query): Long = {
     import spark.implicits._
     val q = rewrite(spark, q0)
+    val hasDeletes = index.manifest.deletedCount > 0L
     q match {
-      case MatchAllQ => index.stats.docCount
-      case TermQ(t) => termStats(spark, Set(t)).get(t).map(_._1).getOrElse(0L)
+      case MatchAllQ => index.stats.docCount - index.manifest.deletedCount
+      case TermQ(t) if !hasDeletes => termStats(spark, Set(t)).get(t).map(_._1).getOrElse(0L)
       case MatchNoneQ => 0L
       case _ =>
         val ctx = queryContext(spark, q)
         val segsDs = spark.createDataset(index.manifest.segments)
-        cogroupLeaves(spark, segsDs, q)((seg, post) =>
-          Iterator.single(SegmentKernel.count(q, readers(post, ctx), seg, ctx)))
+        cogroupLeaves(spark, segsDs, q)((seg, post, del) =>
+          Iterator.single(SegmentKernel.count(q, readers(post, ctx), seg, ctx, del)))
           .reduce(_ + _)
     }
   }
 
   private def runLeaves(spark: SparkSession, q: Query)(
-      kernel: (SegmentMeta, Map[String, TermPostings]) => Iterator[ScoredDoc]): Dataset[ScoredDoc] = {
+      kernel: (SegmentMeta, Map[String, TermPostings], Array[Int]) => Iterator[ScoredDoc]): Dataset[ScoredDoc] = {
     import spark.implicits._
     val segsDs = spark.createDataset(index.manifest.segments)
     cogroupLeaves(spark, segsDs, q)(kernel)
@@ -437,7 +467,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     */
   private def cogroupLeaves[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
       spark: SparkSession, segsDs: Dataset[SegmentMeta], q: Query)(
-      kernel: (SegmentMeta, Map[String, TermPostings]) => Iterator[T]): Dataset[T] =
+      kernel: (SegmentMeta, Map[String, TermPostings], Array[Int]) => Iterator[T]): Dataset[T] =
     runSegments(spark, postingRows(spark, q.terms, q.termPreds))(kernel)
 
   /** Query-term posting rows: only the query terms' (and multi-term
@@ -467,7 +497,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     */
   private def runSegments[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
       spark: SparkSession, rows: Dataset[TermPostings])(
-      kernel: (SegmentMeta, Map[String, TermPostings]) => Iterator[T]): Dataset[T] = {
+      kernel: (SegmentMeta, Map[String, TermPostings], Array[Int]) => Iterator[T]): Dataset[T] = {
     val segMetas = index.manifest.segments.map(s => s.segmentId -> s).toMap
     val maxSeg = segMetas.keys.max
     val nParts = maxSeg + 1
@@ -477,20 +507,35 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     }
     val sentinels = spark.sparkContext
       .parallelize(segMetas.keys.toSeq, math.min(nParts, 32))
-      .map(sid => (sid, null: TermPostings))
-    val parted = rows.rdd.map(tp => (tp.segmentId, tp))
+      .map(sid => (sid, null: AnyRef))
+    // tombstones ride the SAME cogroup shuffle as the posting rows: each
+    // segment's kernel sees its live-docs without any driver round-trip
+    // (|deletes| rows move, co-partitioned with their segment)
+    val delRdd = index.deleteRows(spark).rdd.map(dr => (dr.segmentId, dr: AnyRef))
+    val parted = rows.rdd.map(tp => (tp.segmentId, tp: AnyRef))
       .union(sentinels)
+      .union(delRdd)
       .partitionBy(partitioner)
     val out = parted.mapPartitions { it =>
       // one segment per partition by construction
       var seg: SegmentMeta = null
       val post = Map.newBuilder[String, TermPostings]
+      val dels = Array.newBuilder[Int]
       var any = false
-      it.foreach { case (sid, tp) =>
+      it.foreach { case (sid, payload) =>
         if (!any) { seg = segMetas(sid); any = true }
-        if (tp != null) post += (tp.term -> tp)
+        payload match {
+          case tp: TermPostings => post += (tp.term -> tp)
+          case dr: graft.index.DeleteRow => dels += dr.localDoc
+          case _ => // sentinel
+        }
       }
-      if (!any) Iterator.empty else kernel(seg, post.result())
+      if (!any) Iterator.empty
+      else {
+        val d = dels.result()
+        java.util.Arrays.sort(d)
+        kernel(seg, post.result(), d)
+      }
     }
     spark.createDataset(out)
   }

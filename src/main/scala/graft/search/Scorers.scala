@@ -486,6 +486,29 @@ final class ReqOptSumScorer(req: Scorer, opt: Scorer) extends Scorer {
   }
 }
 
+/** DISI over a sorted int array — the deleted-docs iterator fed to
+  * [[ReqExclScorer]] (live-docs anti-join; the reference applies a live-docs
+  * bitset per leaf, `core/search/weight.go:189-236`). */
+final class IntArrayScorer(docs: Array[Int]) extends Scorer {
+  private var i = -1
+  def docId: Int = if (i < 0) -1 else if (i >= docs.length) DISI.NO_MORE else docs(i)
+  def nextDoc(): Int = { if (i < docs.length) i += 1; docId }
+  def advance(target: Int): Int = {
+    if (docId >= target) return docId
+    var lo = math.max(i, 0)
+    var hi = docs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (docs(mid) < target) lo = mid + 1 else hi = mid
+    }
+    i = lo
+    docId
+  }
+  def score(): Double = 0.0
+  def cost: Long = docs.length.toLong
+  def maxScore: Double = 0.0
+}
+
 /** required filtered by absence in exclusion (`core/search/reqexclscorer.go:12-66`). */
 final class ReqExclScorer(req: Scorer, excl: Scorer) extends Scorer {
   private var cur = -1

@@ -51,6 +51,24 @@ object SparkEntry {
   private def index(spark: SparkSession, sfDir: String): BuiltIndex =
     searcher(spark, sfDir).index
 
+  /** Multi-field index over (text, lang, source) — per-field dictionaries,
+    * postings, norms, and BM25 statistics (Term = (field, text), reference
+    * `core/search/termquery.go:61`). */
+  private val mfCached = scala.collection.mutable.HashMap.empty[String, MultiFieldSearcher]
+
+  private[graft] def mfSearcher(spark: SparkSession, sfDir: String): MultiFieldSearcher =
+    mfCached.synchronized {
+      mfCached.getOrElseUpdate(sfDir, {
+        val docsPath = s"$sfDir/documents.parquet"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val docs = spark.read.parquet(docsPath)
+        val idx = MultiFieldIndex.buildOrLoad(spark, docs, "doc_id",
+          Seq("text", "lang", "source"), indexDir,
+          BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = docsPath)
+        new MultiFieldSearcher(idx)
+      })
+    }
+
   /** A SEPARATE index copy with docs containing "dup" tombstoned — the
     * delete-by-term lifecycle (IndexOps.deleteByQuery). Idempotent: a
     * reloaded index re-deletes to a no-op (matchingDocs applies tombstones).
@@ -184,6 +202,16 @@ object SparkEntry {
       Seq((s.count(spark, MatchAllQ), s.count(spark, TermQ("spark"))))
         .toDF("live_docs", "spark_hits")
     }),
+    // multi-field: the same engine over a second field — BM25 with the
+    // LANG field's own statistics (df over lang tokens, avgdl = 1), blended
+    // with text-field scores: score = text:spark + lang:en per doc
+    "q29_field_scoped" -> ((spark: SparkSession, sfDir: String) =>
+      mfSearcher(spark, sfDir).searchBlended(spark,
+        Seq(("text", TermQ("spark"), 1.0), ("lang", TermQ("en"), 1.0)), 10)),
+    // cross-field FILTER: text-field scores, source-field predicate
+    "q32_field_filter" -> ((spark: SparkSession, sfDir: String) =>
+      mfSearcher(spark, sfDir).searchFiltered(spark,
+        "text", TermQ("join"), "source", TermQ("src3"), 10)),
     // PointRangeQuery analogue: BM25 matches + numeric doc-value range filter
     "q22_point_range" -> ((spark: SparkSession, sfDir: String) => {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -333,6 +361,30 @@ object SparkEntry {
          |                 LEFT JOIN h3 USING (doc_id))
          |SELECT doc_id, round(s, 6) AS score FROM hits WHERE m >= 2
          |ORDER BY s DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // lang is a 1-token field: tf=1, len=1, avgdl=1 exactly — the score
+    // formula below keeps the engine's exact op order with those constants
+    "q29_field_scoped" ->
+      s"""$base, h1 AS (${hits("spark")}),
+         |ls AS (SELECT count(*)::BIGINT AS n FROM documents WHERE lang IS NOT NULL AND lang <> ''),
+         |lh AS (SELECT d.doc_id,
+         |         ln(1.0 + (ls.n - ldf.df + 0.5) / (ldf.df + 0.5))
+         |           - ln(1.0 + (ls.n - ldf.df + 0.5) / (ldf.df + 0.5))
+         |             / (1.0 + 1.0 * (1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * 1.0 / 1.0)))) AS s
+         |       FROM documents d
+         |       CROSS JOIN ls
+         |       CROSS JOIN (SELECT count(*)::BIGINT AS df FROM documents WHERE lower(lang) = 'en') ldf
+         |       WHERE lower(d.lang) = 'en'),
+         |ids AS (SELECT doc_id FROM h1 UNION SELECT doc_id FROM lh),
+         |blend AS (SELECT ids.doc_id, COALESCE(h1.s, 0) + COALESCE(lh.s, 0) AS s
+         |          FROM ids LEFT JOIN h1 USING (doc_id) LEFT JOIN lh USING (doc_id))
+         |SELECT doc_id, round(s, 6) AS score FROM blend
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q32_field_filter" ->
+      s"""$base, h1 AS (${hits("join")}),
+         |keep AS (SELECT h1.doc_id, h1.s FROM h1
+         |         JOIN documents d ON h1.doc_id = d.doc_id WHERE lower(d.source) = 'src3')
+         |SELECT doc_id, round(s, 6) AS score FROM keep
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q30_after_delete" ->
       s"""$base, h1 AS (${hits("join")}),
          |hits AS (SELECT doc_id, s FROM h1

@@ -212,6 +212,29 @@ object SparkEntry {
     "q32_field_filter" -> ((spark: SparkSession, sfDir: String) =>
       mfSearcher(spark, sfDir).searchFiltered(spark,
         "text", TermQ("join"), "source", TermQ("src3"), 10)),
+    // ---- LLM-pipeline operators (dedup family) --------------------------
+    // exact dedup: sha256 hash-groupBy keeper map (content never shuffles)
+    "q33_exact_dedup" -> ((spark: SparkSession, sfDir: String) =>
+      graft.pipeline.ExactDedup.keeperMap(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // MinHash+LSH near-dup: banded buckets -> candidates -> EXACT Jaccard
+    // verification (never all-pairs); oracle is the brute-force Jaccard
+    "q34_minhash_neardup" -> ((spark: SparkSession, sfDir: String) =>
+      graft.pipeline.MinHashLsh.nearDuplicates(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")),
+    // SimHash near-dup: 4x16-bit chunk banding (pigeonhole => recall 1.0
+    // for hamming <= 3); oracle recomputes the identical sha256-derived
+    // fingerprints in SQL and brute-forces the hamming join
+    "q35_simhash_neardup" -> ((spark: SparkSession, sfDir: String) =>
+      graft.pipeline.SimHash.nearDuplicates(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))),
+    // exact n-gram Jaccard top-k similarity via the inverted shingle join
+    "q36_ngram_topsim" -> ((spark: SparkSession, sfDir: String) =>
+      graft.pipeline.NgramJaccard.topSimilar(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+        queryDocId = 98L, k = 10)),
     // PointRangeQuery analogue: BM25 matches + numeric doc-value range filter
     "q22_point_range" -> ((spark: SparkSession, sfDir: String) => {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -248,6 +271,22 @@ object SparkEntry {
       |    1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len % 256) / st.avgdl)) AS cn,
       |    tf.freq AS freq
       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st
+      |)""".stripMargin
+
+  /** Shared dedup CTE: distinct word 3-shingles per doc + set sizes. Same
+    * tokenization as `base` (lower + whitespace runs), same shingle join
+    * as the engine's `TextHash.shingles` — the sha256 hashing the engine
+    * uses is injective on these shingles, so set algebra matches exactly.
+    */
+  private val shingleBase: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
+      |  FROM t, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+      |), sz AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
       |)""".stripMargin
 
   /** BM25 score of `term` per matching doc, as a named CTE body. */
@@ -396,6 +435,45 @@ object SparkEntry {
          |    - (SELECT count(DISTINCT doc_id) FROM sc WHERE term = 'dup') AS live_docs,
          |  (SELECT count(*) FROM sc WHERE term = 'spark'
          |     AND doc_id NOT IN (SELECT doc_id FROM sc WHERE term = 'dup')) AS spark_hits""".stripMargin,
+    "q33_exact_dedup" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_minhash_neardup" ->
+      s"""$shingleBase,
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT da, db, i::DOUBLE / (sa.n + sb.n - i) AS jac
+         |           FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
+         |SELECT da AS doc_a, db AS doc_b, round(jac, 6) AS jaccard
+         |FROM jpairs WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q35_simhash_neardup" ->
+      s"""$base, th AS (
+         |  SELECT term, ('0x' || substr(sha256(term), 1, 16))::UBIGINT AS h
+         |  FROM (SELECT DISTINCT term FROM tf)
+         |), bits AS (
+         |  SELECT tf.doc_id, g.b,
+         |         sum(CASE WHEN (th.h >> g.b) & 1 = 1 THEN tf.freq ELSE -tf.freq END) AS acc
+         |  FROM tf JOIN th USING (term), unnest(generate_series(0, 63)) AS g(b)
+         |  GROUP BY 1, 2
+         |), sim AS (
+         |  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS v
+         |  FROM bits GROUP BY 1
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.v, b.v))::BIGINT AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.v, b.v)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q36_ngram_topsim" ->
+      s"""$shingleBase,
+         |qn AS (SELECT n FROM sz WHERE doc_id = 98),
+         |inter AS (SELECT b.doc_id, count(*)::BIGINT AS i
+         |          FROM sh q JOIN sh b ON q.sh = b.sh AND b.doc_id <> 98
+         |          WHERE q.doc_id = 98 GROUP BY 1)
+         |SELECT inter.doc_id,
+         |       round(inter.i::DOUBLE / (sz.n + qn.n - inter.i), 6) AS jaccard
+         |FROM inter JOIN sz USING (doc_id) CROSS JOIN qn
+         |ORDER BY jaccard DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
     "q24_pure_negative" ->

@@ -100,8 +100,12 @@ object IndexBuilder {
     java.security.MessageDigest.getInstance("SHA-256"))
   private val HEX = "0123456789abcdef".toCharArray
 
+  /** Raw sha256 bytes (thread-local digest; one call per doc/token). */
+  def sha256Digest(s: String): Array[Byte] =
+    tlMd.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   def sha256Hex(s: String): String = {
-    val d = tlMd.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = sha256Digest(s)
     val out = new Array[Char](d.length * 2)
     var i = 0
     while (i < d.length) {

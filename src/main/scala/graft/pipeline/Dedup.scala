@@ -1,0 +1,295 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+
+/** Shared text-dedup primitives (LLM-training-pipeline operators).
+  *
+  * Tokenization is the engine's analyzer chain (lowercase + whitespace
+  * runs, `analysis/Analyzer.scala`) so dedup agrees with the index's view
+  * of a document. Shingle/token hashes are the first 8 bytes of
+  * sha256(UTF-8) read as an unsigned 64-bit value — platform-independent,
+  * seedless, and reproducible in any other system (the DuckDB oracles
+  * recompute them bit-for-bit).
+  */
+object TextHash {
+  /** Unsigned-64 view of sha256(s)[0..8) (big-endian). */
+  def h64(s: String): Long = {
+    val d = graft.index.IndexBuilder.sha256Digest(s)
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
+
+  /** Distinct word k-shingles (space-joined). */
+  def shingles(text: String, k: Int): Array[String] = {
+    val toks = Analyzer.standard.terms(text)
+    if (toks.length < k) Array.empty
+    else (0 to toks.length - k).iterator.map(i => toks.slice(i, i + k).mkString(" "))
+      .toSet.toArray
+  }
+}
+
+/** Exact deduplication: hash-groupBy on sha256(content) — one shuffle of
+  * (sha, id) pairs, never content. At 100 TB this is the cheapest dedup
+  * pass: the shuffle moves 40ish bytes/doc regardless of document size.
+  */
+object ExactDedup {
+
+  /** (doc_id, keeper_id): keeper = the smallest doc_id with identical
+    * content. A doc is a duplicate iff doc_id != keeper_id. Built with the
+    * codegen'd sha2() expression — the content column never shuffles
+    * (aggregate is on the 64-hex digest).
+    */
+  def keeperMap(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol).cast("long").as("doc_id"),
+      sha2(coalesce(col(textCol).cast("string"), lit("")), 256).as("sha"))
+    val keepers = hashed.groupBy("sha").agg(min("doc_id").as("keeper_id"))
+    hashed.join(keepers, "sha").select("doc_id", "keeper_id")
+  }
+
+  /** Input with exact duplicates dropped (keeper survives). */
+  def dropDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = keeperMap(docs, idCol, textCol)
+      .where(col("doc_id") === col("keeper_id")).select("doc_id")
+    docs.join(keep, docs(idCol) === keep("doc_id")).drop(keep("doc_id"))
+  }
+}
+
+/** MinHash + LSH banding near-duplicate detection (Broder'97 resemblance;
+  * banding per MMDS ch.3). NEVER all-pairs: candidates come only from
+  * shared LSH buckets, and every candidate is verified with the EXACT
+  * shingle Jaccard before being reported — the output contains no
+  * approximation, only (possibly) missed pairs below the recall curve
+  * 1-(1-J^r)^b (with the defaults, a J=0.9 pair is missed with p≈1e-14).
+  *
+  * Scale shape (100 TB): signatures are a narrow map (one pass over the
+  * text, nothing shuffles but (docId, 32 longs)); banding explodes to b
+  * rows/doc; bucket groups are bounded by `maxBucket` (a degenerate hot
+  * bucket — boilerplate shingle sets — would otherwise go quadratic);
+  * verification joins candidate pairs against the exploded shingle-hash
+  * table, shuffling only shingles of docs that are IN a candidate pair.
+  */
+object MinHashLsh {
+
+  final case class Params(
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucket: Int = 10000) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Deterministic affine mixers (seeded; odd multipliers). */
+  private def mixers(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val b = Array.fill(numHashes)(rnd.nextLong())
+    (a, b)
+  }
+
+  /** MinHash signature of a shingle-hash set. */
+  def signature(shingleHashes: Array[Long], a: Array[Long], b: Array[Long]): Array[Long] = {
+    val sig = Array.fill(a.length)(Long.MaxValue)
+    var i = 0
+    while (i < shingleHashes.length) {
+      val h = shingleHashes(i)
+      var j = 0
+      while (j < a.length) {
+        val v = a(j) * h + b(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Near-duplicate pairs (doc_a < doc_b, exact jaccard >= threshold),
+    * columns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
+    */
+  def nearDuplicates(spark: SparkSession, docs: DataFrame, idCol: String,
+                     textCol: String, p: Params = Params()): DataFrame = {
+    import spark.implicits._
+    val (ma, mb) = mixers(p.numHashes)
+    val k = p.shingleK
+    val bands = p.bands
+    val rpb = p.rowsPerBand
+
+    // (doc, distinct shingle hashes) — computed once, reused by banding and
+    // by the exact verification join
+    val shingleRows = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        TextHash.shingles(text, k).iterator.map(sh => (id, TextHash.h64(sh)))
+      }
+      .toDF("doc_id", "shash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // banded bucket rows: (band, bucketHash, doc)
+      val bucketRows = shingleRows.as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (id, it) =>
+          val hs = it.map(_._2).toArray
+          (id, signature(hs, ma, mb))
+        }
+        .flatMap { case (id, sig) =>
+          (0 until bands).iterator.map { band =>
+            var h = 1125899906842597L ^ band
+            var j = band * rpb
+            while (j < (band + 1) * rpb) { h = h * 0x9E3779B97F4A7C15L + sig(j); j += 1 }
+            (band, h, id)
+          }
+        }
+        .toDF("band", "bucket", "doc_id")
+
+      // candidate pairs from shared buckets (bounded per bucket)
+      val maxBucket = p.maxBucket
+      val candidates = bucketRows.as[(Int, Long, Long)]
+        .groupByKey(r => (r._1, r._2))
+        .flatMapGroups { (_, it) =>
+          val ids = it.map(_._3).toArray
+          java.util.Arrays.sort(ids)
+          val n = math.min(ids.length, maxBucket)
+          for {
+            i <- (0 until n).iterator
+            j <- (i + 1) until n
+          } yield (ids(i), ids(j))
+        }
+        .distinct()
+        .toDF("doc_a", "doc_b")
+
+      // EXACT Jaccard verification, only for candidate docs' shingles
+      val sizes = shingleRows.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = candidates
+        .join(shingleRows.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(shingleRows.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.shash") === col("sb.shash"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      val verified = inter
+        .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("j"))
+        .where(col("j") >= p.threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+      // materialize the (bounded: only pairs above threshold) result while
+      // the shingle cache is live, then release the cache — no driver
+      // round-trip; the returned frame is itself cached
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally shingleRows.unpersist(blocking = false)
+  }
+}
+
+/** SimHash near-duplicate detection (Charikar'02; Manku et al. WWW'07 for
+  * the chunked-banding search). 64-bit tf-weighted fingerprint over
+  * sha256-derived token hashes; candidate pairs share at least one of 4
+  * 16-bit chunks, which by pigeonhole GUARANTEES every pair at hamming
+  * distance <= 3 is found (3 differing bits can corrupt at most 3 chunks)
+  * — recall 1.0 by construction, not probabilistically.
+  */
+object SimHash {
+
+  /** 64-bit simhash of analyzed tokens; None for an empty (0-token) doc
+    * (empty docs are trivially identical — exact dedup's job). */
+  def simhash64(text: String): Option[Long] = {
+    val (tf, len) = Analyzer.standard.termFreqCounts(text)
+    if (len == 0) return None
+    val acc = new Array[Long](64)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = TextHash.h64(e.getKey)
+      val f = e.getValue.toLong
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += f else acc(b) -= f
+        b += 1
+      }
+    }
+    var v = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) v |= (1L << b); b += 1 }
+    Some(v)
+  }
+
+  /** Pairs (doc_a < doc_b, hamming <= maxHamming), columns
+    * (doc_a, doc_b, hamming). maxHamming <= 3 keeps the 4-chunk pigeonhole
+    * guarantee; larger values lower recall below 1 (documented trade).
+    */
+  def nearDuplicates(spark: SparkSession, docs: DataFrame, idCol: String,
+                     textCol: String, maxHamming: Int = 3,
+                     maxBucket: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val sigs = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => simhash64(text).map(v => (id, v)) }
+      .toDF("doc_id", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val chunked = sigs.as[(Long, Long)].flatMap { case (id, v) =>
+        (0 until 4).iterator.map(c => (c, (v >>> (16 * c)) & 0xFFFFL, id, v))
+      }.toDF("chunk", "key", "doc_id", "sim")
+      val pairs = chunked.as[(Int, Long, Long, Long)]
+        .groupByKey(r => (r._1, r._2))
+        .flatMapGroups { (_, it) =>
+          val rows = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+          val n = math.min(rows.length, maxBucket)
+          for {
+            i <- (0 until n).iterator
+            j <- (i + 1) until n
+            hd = java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2)
+            if hd <= maxHamming
+          } yield (rows(i)._1, rows(j)._1, hd)
+        }
+        .toDF("doc_a", "doc_b", "hamming")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+      val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally sigs.unpersist(blocking = false)
+  }
+}
+
+/** Exact n-gram Jaccard similarity search: top-k most similar documents to
+  * a query document, computed via the inverted shingle table (only docs
+  * sharing >= 1 shingle with the query are touched — the posting-join
+  * shape, never a corpus scan per query).
+  */
+object NgramJaccard {
+
+  def topSimilar(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+                 queryDocId: Long, k: Int, shingleK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val shingleRows = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        TextHash.shingles(text, shingleK).iterator.map(sh => (id, TextHash.h64(sh)))
+      }
+      .toDF("doc_id", "shash")
+    val sizes = shingleRows.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // query shingles broadcast into the join (tiny by construction)
+    val qs = broadcast(shingleRows.where(col("doc_id") === queryDocId).select("shash"))
+    val qn = sizes.where(col("doc_id") === queryDocId).select("n")
+    val inter = shingleRows.join(qs, "shash")
+      .where(col("doc_id") =!= queryDocId)
+      .groupBy("doc_id").agg(count(lit(1)).as("i"))
+    inter.join(sizes, "doc_id").crossJoin(broadcast(qn).withColumnRenamed("n", "qn"))
+      .select(col("doc_id"),
+        round(col("i").cast("double") / (col("n") + col("qn") - col("i")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -235,6 +235,32 @@ object SparkEntry {
       graft.pipeline.NgramJaccard.topSimilar(spark,
         spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
         queryDocId = 98L, k = 10)),
+    // ---- similarity search over the embeddings table --------------------
+    // brute-force cosine top-k: one narrow map + TakeOrderedAndProject
+    // (per-partition heap, no corpus shuffle) — the exhaustive ANN baseline
+    "q37_ann_bruteforce" -> ((spark: SparkSession, sfDir: String) => {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qv = emb.where(col("vec_id") === 0L).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      graft.pipeline.Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", qv, 10)
+    }),
+    // sign-LSH bucketed near-dup with exact-cosine verification; the
+    // deterministic closed-form hyperplanes let the oracle recompute the
+    // IDENTICAL buckets in SQL — bucketing included, output reproducible
+    "q38_embed_neardup" -> ((spark: SparkSession, sfDir: String) =>
+      graft.pipeline.EmbeddingNearDup.pairs(spark,
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding", tau = 0.4)),
+    // IVF partition-pruned ANN (spherical k-means buckets; nProbe trade).
+    // No SQL oracle (centroid training is iterative) -> rows-only check
+    // here; AnnSpec property-tests probed-bucket rank identity.
+    "q39_ann_ivf" -> ((spark: SparkSession, sfDir: String) => {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qv = emb.where(col("vec_id") === 0L).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivf-${IndexBuilder.sha256Hex(sfDir).take(12)}"
+      val cs = graft.pipeline.Ivf.build(spark, emb, "vec_id", "embedding", dir, nCentroids = 32)
+      graft.pipeline.Ivf.search(spark, dir, cs, qv, nProbe = 8, k = 10)
+    }),
     // PointRangeQuery analogue: BM25 matches + numeric doc-value range filter
     "q22_point_range" -> ((spark: SparkSession, sfDir: String) => {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -474,6 +500,42 @@ object SparkEntry {
          |       round(inter.i::DOUBLE / (sz.n + qn.n - inter.i), 6) AS jaccard
          |FROM inter JOIN sz USING (doc_id) CROSS JOIN qn
          |ORDER BY jaccard DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q37_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
+        |FROM e CROSS JOIN q
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // identical buckets to EmbeddingNearDup.sign/sketch (h=6, T=32), then
+    // exact cosine >= 0.4 over bucket-sharing pairs
+    "q38_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |), hp AS (
+        |  SELECT t.t, b.b, j.j,
+        |         CASE WHEN ((((t.t*6 + b.b)*64 + j.j + 1) * 2654435761) % 4294967296) >= 2147483648
+        |              THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM unnest(generate_series(0, 31)) AS t(t),
+        |       unnest(generate_series(0, 5)) AS b(b),
+        |       unnest(generate_series(0, 63)) AS j(j)
+        |), comp AS (
+        |  SELECT vec_id, j.j AS j, embedding[j.j + 1]::DOUBLE AS x
+        |  FROM e, unnest(generate_series(0, 63)) AS j(j)
+        |), bits AS (
+        |  SELECT c.vec_id, hp.t, hp.b, CASE WHEN sum(hp.sgn * c.x) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM comp c JOIN hp ON hp.j = c.j
+        |  GROUP BY 1, 2, 3
+        |), sk AS (
+        |  SELECT vec_id, t, sum(bit * (1 << b))::BIGINT AS key FROM bits GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |  FROM sk a JOIN sk b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id
+        |), ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM e)
+        |SELECT cand.va AS vec_a, cand.vb AS vec_b,
+        |       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        |FROM cand JOIN ed ea ON ea.vec_id = cand.va JOIN ed eb ON eb.vec_id = cand.vb
+        |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
     "q24_pure_negative" ->

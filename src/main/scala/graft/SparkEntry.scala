@@ -261,6 +261,34 @@ object SparkEntry {
       val cs = graft.pipeline.Ivf.build(spark, emb, "vec_id", "embedding", dir, nCentroids = 32)
       graft.pipeline.Ivf.search(spark, dir, cs, qv, nProbe = 8, k = 10)
     }),
+    // ---- text analysis (narrow maps, zero shuffle) ----------------------
+    "q40_langid" -> ((spark: SparkSession, sfDir: String) =>
+      graft.pipeline.TextStats.languageId(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q41_quality" -> ((spark: SparkSession, sfDir: String) =>
+      graft.pipeline.TextStats.qualityScore(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q42_token_counts" -> ((spark: SparkSession, sfDir: String) =>
+      graft.pipeline.TextStats.tokenCounts(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q43_fingerprint" -> ((spark: SparkSession, sfDir: String) =>
+      graft.pipeline.TextStats.fingerprints(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // multimodal plumbing: binary payload column + batched (stub) decode —
+    // byte-exact metadata certified by the oracle
+    "q44_multimodal" -> ((spark: SparkSession, sfDir: String) => {
+      val assets = graft.pipeline.Multimodal.attachPayload(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      graft.pipeline.Multimodal.decode(spark, assets)
+        .select(col("doc_id"), col("byte_len"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("doc_id")
+    }),
     // PointRangeQuery analogue: BM25 matches + numeric doc-value range filter
     "q22_point_range" -> ((spark: SparkSession, sfDir: String) => {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -536,6 +564,62 @@ object SparkEntry {
         |FROM cand JOIN ed ea ON ea.vec_id = cand.va JOIN ed eb ON eb.vec_id = cand.vb
         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // marker-voting language ID; tiebreak = (hits desc, lang asc); no hit
+    // (or no tokens) => 'und'. Sets mirror TextStats.Markers exactly.
+    "q40_langid" ->
+      s"""$base, m AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN term IN ('der','die','und','das','ist','nicht','ein') THEN freq ELSE 0 END) AS hde,
+         |    sum(CASE WHEN term IN ('the','a','of','and','is','to','in') THEN freq ELSE 0 END) AS hen,
+         |    sum(CASE WHEN term IN ('el','la','que','y','los','una','por') THEN freq ELSE 0 END) AS hes,
+         |    sum(CASE WHEN term IN ('le','et','les','des','une','est','dans') THEN freq ELSE 0 END) AS hfr
+         |  FROM tf GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN m.doc_id IS NULL OR greatest(m.hde, m.hen, m.hes, m.hfr) = 0 THEN 'und'
+         |       WHEN m.hde >= m.hen AND m.hde >= m.hes AND m.hde >= m.hfr THEN 'de'
+         |       WHEN m.hen >= m.hes AND m.hen >= m.hfr THEN 'en'
+         |       WHEN m.hes >= m.hfr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q41_quality" ->
+      s"""$base, en AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN term IN ('the','a','of','and','is','to','in') THEN freq ELSE 0 END)::BIGINT AS hits
+         |  FROM tf GROUP BY 1)
+         |SELECT d.doc_id,
+         |  round(CASE WHEN dl.len IS NULL OR dl.len = 0 THEN 0.0 ELSE
+         |    0.5 * least(1.0, dl.len / 50.0)
+         |    + 0.25 * (COALESCE(en.hits, 0) / dl.len::DOUBLE)
+         |    + 0.25 * (length(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')) / length(d.text)::DOUBLE)
+         |  END, 6) AS quality
+         |FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+         |LEFT JOIN en ON d.doc_id = en.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q42_token_counts" ->
+      raw"""$base
+           |SELECT d.doc_id, COALESCE(dl.len, 0)::BIGINT AS ws_tokens,
+           |  len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS sub_tokens
+           |FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id ORDER BY d.doc_id""".stripMargin,
+    // bottom-4 sketch: 4 smallest 16-hex-char shingle hashes, ':'-joined
+    // (hex order == unsigned hash order)
+    "q43_fingerprint" ->
+      s"""$shingleBase,
+         |hh AS (SELECT doc_id, substr(sha256(sh), 1, 16) AS h FROM sh),
+         |rk AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS r FROM hh),
+         |bot AS (SELECT doc_id, string_agg(h, ':' ORDER BY h) AS fp FROM rk WHERE r <= 4 GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(bot.fp, '') AS fp
+         |FROM documents d LEFT JOIN bot ON d.doc_id = bot.doc_id ORDER BY d.doc_id""".stripMargin,
+    // stub-decode metadata: byte_len from UTF-8, dims from the first two
+    // bytes (data is ASCII so ascii(char) == byte), frames = ceil(len/256)
+    "q44_multimodal" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::BIGINT AS byte_len,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE 64 + (ascii(substr(text, 1, 1)) % 128) END::BIGINT AS width,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE 64 + (CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) ELSE 0 END % 128) END::BIGINT AS height,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE (octet_length(encode(text)) + 255) // 256 END::BIGINT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
     "q24_pure_negative" ->

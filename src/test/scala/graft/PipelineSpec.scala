@@ -82,6 +82,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(want.nonEmpty, "planted dups must be simhash-close")
   }
 
+  test("language ID: marker voting with deterministic tiebreak") {
+    val cases = Seq(
+      "the cat sat of the mat" -> "en",
+      "der hund und die katze ist da" -> "de",
+      "el que la y los una" -> "es",
+      "le chat et les des une" -> "fr",
+      "xyzzy qwerty asdf" -> "und",
+      "" -> "und",
+      "the der" -> "de") // 1-1 tie -> lang ascending wins
+    cases.foreach { case (t, want) =>
+      assert(TextStats.languageOf(t) == want, s"text '$t'")
+    }
+    val df = spark.createDataset(cases.zipWithIndex.map { case ((t, _), i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    val got = TextStats.languageId(spark, df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) => assert(got(i.toLong) == want) }
+  }
+
+  test("quality score: bounds, empties, monotonicity in length") {
+    assert(TextStats.qualityOf("") == 0.0)
+    val short = TextStats.qualityOf("a b")
+    val long = TextStats.qualityOf(Seq.fill(60)("the good text").mkString(" "))
+    assert(short > 0.0 && long > short && long <= 1.0)
+    val noisy = TextStats.qualityOf("@@!! ## $$ %%")
+    assert(noisy < short, "punctuation noise must lower quality")
+  }
+
+  test("token counts: whitespace vs BPE-ish subword counts") {
+    val got = TextStats.tokenCounts(spark,
+        spark.createDataset(Seq((1L, "Hello, world42 x-y"))).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(got.getLong(1) == 3L) // hello, / world42 / x-y
+    // hello , world 42 x - y => 7
+    assert(got.getLong(2) == 7L)
+  }
+
+  test("fingerprint: identical shingle sets => identical fingerprints; edits change them") {
+    val a = "one two three four five six seven"
+    val b = "one two three four five six seven" // identical
+    val c = "one two three four five six DIFFERENT"
+    assert(TextStats.fingerprintOf(a) == TextStats.fingerprintOf(b))
+    assert(TextStats.fingerprintOf(a) != TextStats.fingerprintOf(c))
+    assert(TextStats.fingerprintOf("one two") == "") // < 3 tokens -> no shingles
+    assert(TextStats.fingerprintOf(a).split(":").length == 4)
+  }
+
+  test("multimodal: payload plumbing, stub decode, features, frame sampling") {
+    val df = spark.createDataset(Seq((1L, "x" * 600), (2L, "ab"), (3L, ""))).toDF("doc_id", "text")
+    val assets = Multimodal.attachPayload(df, "doc_id", "text")
+    val meta = Multimodal.decode(spark, assets)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(meta(1L) == ((600L, 64 + ('x' % 128), 64 + ('x' % 128), 3)))
+    assert(meta(2L) == ((2L, 64 + ('a' % 128), 64 + ('b' % 128), 1)))
+    assert(meta(3L) == ((0L, 0, 0, 0)))
+    val feats = Multimodal.features(spark, assets)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).sum > 0.999f && feats(1L).sum < 1.001f, "L1-normalized histogram")
+    assert(feats(3L).sum == 0f)
+    val frames = Multimodal.sampleFrames(spark, assets, stride = 2).collect()
+    // doc 1: 3 frames, stride 2 -> frames 0 and 2
+    assert(frames.filter(_.getLong(0) == 1L).map(_.getInt(1)).sorted.toSeq == Seq(0, 2))
+    assert(frames.forall(_.getString(2).length == 64))
+  }
+
   test("n-gram Jaccard top-k == brute force (query = a planted near-dup's original)") {
     val qid = base(12)._1 // has a planted near-dup at 2000+qid
     val got = NgramJaccard.topSimilar(spark, docsDf, "doc_id", "text", qid, 5)

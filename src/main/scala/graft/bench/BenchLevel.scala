@@ -24,11 +24,10 @@ object BenchLevel {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Host-health probe: wall time of 8 raw JVM threads doing fixed work.
-    * On a healthy 32-core host this equals the single-thread time; the
-    * sandbox has multi-minute windows where >2-core parallelism is
-    * throttled and this reads 3-5x higher. Reported so the parent (and the
-    * judge) can see whether a level was measured in a degraded window.
+  /** Host-health probe: wall time of 8 raw JVM threads doing fixed
+    * register-only work. On a healthy 32-core host this equals the
+    * single-thread time; the sandbox has multi-minute windows where
+    * >2-core parallelism is throttled and this reads 3-5x higher.
     */
   private def calibrate(): Double = {
     val t0 = System.nanoTime()
@@ -43,6 +42,37 @@ object BenchLevel {
     threads.foreach(_.start())
     threads.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Aggregate memory-stream bandwidth (GB/s) at `nThreads` — each thread
+    * strides cache lines over its own 64 MB array. The RATIO of this
+    * across the two bench levels is the single-socket ceiling for any
+    * memory-bound stage: one socket shares one memory system, while a
+    * real 4N-executor cluster brings 4x memory channels. Reported so
+    * BENCH/BASELINE.md can normalize stage efficiencies against the
+    * hardware's own scaling.
+    */
+  private def memBandwidth(nThreads: Int): Double = {
+    val bytesPerThread = 64L << 20
+    val passes = 4
+    val t0 = System.nanoTime()
+    val threads = (1 to nThreads).map { _ =>
+      new Thread(() => {
+        val arr = new Array[Long]((bytesPerThread / 8).toInt)
+        var x = 0L
+        var p = 0
+        while (p < passes) {
+          var j = 0
+          while (j < arr.length) { x += arr(j); j += 8 } // one read per cache line
+          p += 1
+        }
+        if (x == 42) System.err.print("")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    (bytesPerThread.toDouble * passes * nThreads) / secs / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -97,6 +127,18 @@ object BenchLevel {
       idx = b
       secs
     }.min
+    val phases = IndexBuilder.lastPhases.toSeq // default-path per-stage secs
+
+    // timed: the ZERO-SHUFFLE build path (corpus v2 is range-partitioned +
+    // sorted, the assumeContiguous contract). Same result, no stage-1
+    // raw-text shuffle — the scaling headroom measurement.
+    val contigDir = s"$shm/idx-contig-n$cpus"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(contigDir))
+    val (_, buildContigSecs) = timed {
+      IndexBuilder.build(spark, docs, "doc_id", "content", contigDir,
+        cfg.copy(assumeContiguous = true))
+    }
+    val contigPhases = IndexBuilder.lastPhases.toSeq
 
     // timed: reference query set as one distributed batch
     val searcher = new IndexSearcher(idx)
@@ -112,10 +154,16 @@ object BenchLevel {
         .map(h => s"${h.queryId}:${h.docId}:${h.score}").mkString("\n"))
 
     val calib = calibrate()
-    println(f"LEVELRESULT cpus=$cpus docs=$nDocs build_secs=$buildSecs%.3f batch_secs=$batchSecs%.3f calib_secs=$calib%.3f sha=$sha")
+    val membw = memBandwidth(cpus)
+    val phaseKv = (phases.map { case (n, s) => f"p_$n=$s%.3f" } ++
+      contigPhases.map { case (n, s) => f"pc_$n=$s%.3f" }).mkString(" ")
+    println(f"LEVELRESULT cpus=$cpus docs=$nDocs build_secs=$buildSecs%.3f " +
+      f"build_contig_secs=$buildContigSecs%.3f batch_secs=$batchSecs%.3f " +
+      f"calib_secs=$calib%.3f membw_gbps=$membw%.2f sha=$sha $phaseKv")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(shm + s"/spark-n$cpus"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(contigDir))
     spark.stop()
   }
 }

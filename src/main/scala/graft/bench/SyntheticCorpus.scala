@@ -48,12 +48,21 @@ object SyntheticCorpus {
 
   /** Write (once) to parquet with enough files that any session sees
     * parallel input; returns the path. Cached across rounds.
+    *
+    * v2 layout: files are docId-RANGE-partitioned and sorted within — the
+    * natural layout of an ingested corpus (ids assigned at write time) and
+    * the contract of the zero-shuffle `assumeContiguous` build path. The
+    * default (shuffled) build path does identical work on any layout, so
+    * one corpus serves both measurements.
     */
   def ensureParquet(spark: SparkSession, n: Long, files: Int, dir: String): String = {
-    val path = s"$dir/graft-bench-corpus-v1-$n"
+    import org.apache.spark.sql.functions.col
+    val path = s"$dir/graft-bench-corpus-v2-$n"
     val done = new java.io.File(s"$path/_SUCCESS")
     if (!done.exists()) {
-      df(spark, n).repartition(files).write.mode("overwrite").parquet(path)
+      df(spark, n).repartitionByRange(files, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(path)
     }
     path
   }

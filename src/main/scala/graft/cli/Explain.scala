@@ -43,6 +43,32 @@ object Explain {
       searcher.searchSortBy(spark, TermQ("dup"),
         docs.select("doc_id", "n_chars"), Seq(col("n_chars").desc), 10)
     }
+    section("distributed multi-term query: exact terms OR predicate, ONE pushed scan") {
+      // the postingRows shape for BoolQ(must=TermQ("spark"), should=PrefixQ("du")):
+      // both the exact-term In and the prefix StartsWith reach the scan
+      idx.postings(spark)
+        .where(col("term").isin("spark") || col("term").startsWith("du"))
+    }
+    // IVF: partition pruning — only probed centroid directories are read
+    val embPath = new java.io.File(new java.io.File(input).getParent, "embeddings.parquet")
+    if (embPath.exists()) {
+      val emb = spark.read.parquet(embPath.toString)
+      val qv = emb.where(col("vec_id") === 0L).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val ivfDir = s"$indexDir-ivf"
+      val cs = graft.pipeline.Ivf.build(spark, emb, "vec_id", "embedding", ivfDir, 16)
+      section("IVF probe: centroid partition pruning (non-probed buckets never read)") {
+        spark.read.parquet(ivfDir)
+          .where(col("centroid").isin(graft.pipeline.Ivf.probeSet(cs, qv, 4): _*))
+          .select("vec_id")
+      }
+      section("ANN brute force: narrow map + TakeOrderedAndProject (no corpus shuffle)") {
+        graft.pipeline.Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", qv, 10)
+      }
+    }
+    section("exact dedup: hash-groupBy on sha2 — content never shuffles") {
+      graft.pipeline.ExactDedup.keeperMap(docs, "doc_id", "text")
+    }
     spark.stop()
   }
 }

@@ -46,17 +46,18 @@ final case class DocMeta(segmentId: Int, docId: Long, norm: Int, sha: String)
   *                      flushed chunks, not from raw text)
   * @param stopWords     analyzer stop set (reference default: empty)
   * @param assumeContiguous ZERO-SHUFFLE stage 1: the caller asserts the
-  *                      input is already docId-range-partitioned (each
-  *                      input partition holds a contiguous ascending docId
-  *                      range, ranges pairwise disjoint). Stage 1 then
-  *                      inverts each partition in place — a narrow map, no
-  *                      raw-text shuffle (at 100 TB the stage-1 shuffle is
-  *                      the single largest data movement of the default
-  *                      path). Sortedness is verified per partition as the
-  *                      stream flows; cross-partition disjointness is
-  *                      verified by the stage-2 merge (ascending-firstDoc
-  *                      invariant) — violations fail the build rather than
-  *                      corrupt it.
+  *                      input files are docId-range-partitioned (each file
+  *                      a sorted, contiguous docId range, ranges pairwise
+  *                      disjoint — the natural layout of an ingested
+  *                      corpus). Stage 1 then inverts each partition in
+  *                      place — a narrow map, no raw-text shuffle (at
+  *                      100 TB the stage-1 shuffle is the single largest
+  *                      data movement of the default path). The reader may
+  *                      bin-pack several files per partition in any order;
+  *                      chunk pieces are re-ordered in stage 2 by firstDoc,
+  *                      and the merge ASSERTS the ascending-range invariant
+  *                      — a violated contract fails the build rather than
+  *                      corrupting it.
   */
 final case class BuildConfig(
     numSegments: Int = 8,
@@ -92,6 +93,11 @@ object IndexBuilder {
 
   def indexFingerprint(inputPath: String, docCount: Long): String =
     sha256Hex(s"graft-index:$inputPath:$docCount")
+
+  /** Wall-clock of each phase of the LAST build in this JVM (driver-side
+    * diagnosis hook — the bench uses it to report per-stage scaling). */
+  val lastPhases: scala.collection.mutable.LinkedHashMap[String, Double] =
+    scala.collection.mutable.LinkedHashMap.empty
 
   // sha256 runs once PER DOCUMENT: reuse the digest per thread (getInstance
   // is a contended provider lookup) and hex-encode via a char table (a
@@ -169,10 +175,13 @@ object IndexBuilder {
       docs.select(col(docIdCol).cast("long").as("_1"), col(contentCol).cast("string").as("_2"))
         .as[(Long, String)]
 
+    lastPhases.clear()
     var t0 = System.nanoTime()
     def phase(name: String): Unit = {
       val t1 = System.nanoTime()
-      System.err.println(f"[graft-build] phase=$name secs=${(t1 - t0) / 1e9}%.2f")
+      val secs = (t1 - t0) / 1e9
+      lastPhases.put(name, secs)
+      System.err.println(f"[graft-build] phase=$name secs=$secs%.2f")
       t0 = t1
     }
 
@@ -237,19 +246,14 @@ object IndexBuilder {
     val stage1Parts = math.min(outParts.toLong, math.max(1L, numChunks)).toInt
     val chunkedRdd =
       if (cfg.assumeContiguous) {
-        // zero-shuffle path: each input partition is (asserted) a sorted
-        // contiguous docId range — invert in place. A chunk that straddles a
-        // partition boundary yields two partial rows; stage 2 re-orders them
-        // by firstDoc and asserts their ranges don't interleave.
+        // zero-shuffle path: each input partition is a concatenation of
+        // sorted, pairwise-disjoint docId runs (range-partitioned files,
+        // possibly bin-packed by the reader) — invert in place. Chunks
+        // split across runs/partitions yield partial rows; stage 2
+        // re-orders them by firstDoc and asserts their ranges don't
+        // interleave, so a violated layout contract FAILS the build.
         input.rdd.mapPartitions { it =>
-          var last = Long.MinValue
-          val checked = it.map { kv =>
-            require(kv._1 > last,
-              s"assumeContiguous violated: docId ${kv._1} after $last within a partition")
-            last = kv._1
-            kv
-          }
-          invertChunks(checked, analyzer, segSizeL, chunkDocs)
+          invertChunks(it, analyzer, segSizeL, chunkDocs)
         }
       } else {
         val partitioner = new org.apache.spark.Partitioner {
@@ -390,19 +394,27 @@ object IndexBuilder {
       private var out: Iterator[Stage1Row] = Iterator.empty
 
       private def flushChunk(): Iterator[Stage1Row] = {
-        // consume all docs of the chunk that starts at the head's (seg, salt)
+        // consume the chunk that starts at the head's (seg, salt), flushing
+        // ALSO at any backward docId (a "run boundary": the parquet reader
+        // bin-packs several sorted files into one partition in arbitrary
+        // order, so a partition is a concatenation of sorted runs). Each
+        // run piece becomes its own partial row; stage 2 re-orders pieces
+        // by firstDoc and ASSERTS their ranges don't interleave, so any
+        // genuinely illegal layout fails the build instead of corrupting it.
         val headId = in.head._1
         val seg = (headId / segSize).toInt
         val salt = ((headId - seg.toLong * segSize) / chunkDocs).toInt
         val terms = new java.util.HashMap[String, TermBuf]()
         val docRows = Vector.newBuilder[Stage1Row]
         var continue = true
+        var lastLocal = -1
         while (continue && in.hasNext) {
           val (docId, content) = in.head
           val s = (docId / segSize).toInt
           val local = (docId - s.toLong * segSize).toInt
-          if (s != seg || local / chunkDocs != salt) continue = false
+          if (s != seg || local / chunkDocs != salt || local <= lastLocal) continue = false
           else {
+            lastLocal = local
             in.next()
             val (tf, len) = analyzer.termFreqCounts(content)
             val nb = (len & 0xFF).toByte

@@ -18,6 +18,20 @@ final case class QueryContext(
 
 final case class ScoredDoc(docId: Long, score: Double)
 
+/** Total hit count with its accuracy relation — the reference's
+  * `TotalHits` (`core/search/indexsearcher.go:14-16`): EQUAL_TO when every
+  * match was counted, GREATER_THAN_OR_EQUAL_TO once dynamic pruning began
+  * skipping non-competitive docs (counting stays exact up to the
+  * hits-threshold knob, Lucene's totalHitsThreshold). */
+final case class TotalHits(value: Long, relation: String)
+object TotalHits {
+  val EQ = "EQUAL_TO"
+  val GTE = "GREATER_THAN_OR_EQUAL_TO"
+}
+
+/** Per-segment kernel result for threshold-aware search. */
+final case class LeafHits(docId: Long, score: Double, collected: Long, pruned: Boolean)
+
 /** One hit of a batch multi-query run (see [[IndexSearcher.searchMany]]). */
 final case class QueryHit(queryId: String, docId: Long, score: Double)
 
@@ -155,6 +169,28 @@ object SegmentKernel {
           d = s.nextDoc()
         }
         collector.results.iterator.map { case (gid, sc) => ScoredDoc(gid, sc) }
+    }
+  }
+
+  /** topK that ALSO reports the segment's hit count + whether pruning made
+    * it a lower bound: one sentinel row (docId = -1) per segment carries
+    * (collected, pruned); the rest are the leaf's top-k. */
+  def topKWithTotal(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
+                    ctx: QueryContext, k: Int, hitsThreshold: Long,
+                    deleted: Array[Int]): Iterator[LeafHits] = {
+    val collector = new TopKCollector(k, seg.docBase, None, hitsThreshold)
+    ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = true,
+        () => collector.minCompetitive) match {
+      case None => Iterator.single(LeafHits(-1L, 0.0, 0L, pruned = false))
+      case Some(s0) =>
+        val s = live(s0, deleted)
+        var d = s.nextDoc()
+        while (d != DISI.NO_MORE) {
+          collector.collect(d, s.score())
+          d = s.nextDoc()
+        }
+        Iterator.single(LeafHits(-1L, 0.0, collector.collected, collector.pruned)) ++
+          collector.results.iterator.map { case (gid, sc) => LeafHits(gid, sc, 0L, pruned = false) }
     }
   }
 
@@ -326,6 +362,30 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       SegmentKernel.topK(q, readers(post, ctx), seg, ctx, k, after, del)
     }
     perLeaf.orderBy($"score".desc, $"docId".asc).limit(k).as[ScoredDoc]
+  }
+
+  /** Top-k + [[TotalHits]] with the reference's hits-threshold contract
+    * (`core/search/indexsearcher.go:14-16`, `hitsthresholdchecker.go`):
+    * hit counting is EXACT until `hitsThreshold` hits have been seen in a
+    * leaf; beyond it, dynamic pruning may skip non-competitive docs and the
+    * reported total becomes a GREATER_THAN_OR_EQUAL_TO lower bound. Pass
+    * hitsThreshold = Long.MaxValue for always-exact totals (pruning off).
+    */
+  def searchWithTotal(spark: SparkSession, q0: Query, k: Int,
+                      hitsThreshold: Long = 1000L): (Array[ScoredDoc], TotalHits) = {
+    import spark.implicits._
+    val q = rewrite(spark, q0)
+    val ctx = queryContext(spark, q)
+    val segsDs = spark.createDataset(index.manifest.segments)
+    val rows = cogroupLeaves(spark, segsDs, q)((seg, post, del) =>
+      SegmentKernel.topKWithTotal(q, readers(post, ctx), seg, ctx, k, hitsThreshold, del))
+      .collect()
+    val (sentinels, hits) = rows.partition(_.docId == -1L)
+    val total = TotalHits(sentinels.map(_.collected).sum,
+      if (sentinels.exists(_.pruned)) TotalHits.GTE else TotalHits.EQ)
+    val top = hits.map(h => ScoredDoc(h.docId, h.score))
+      .sortBy(h => (-h.score, h.docId)).take(k)
+    (top, total)
   }
 
   /** In-process top-k for SELECTIVE queries — the reference's embedded

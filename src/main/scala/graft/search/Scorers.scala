@@ -557,7 +557,8 @@ final class DisjunctionMaxScorer(subs: Array[Scorer], tieBreak: Double) extends 
   * `minCompetitiveScore` back to WAND. Supports searchAfter cursors
   * (`PagingTopScoreDocCollector`, `topscoredoccollector.go:243-340`).
   */
-final class TopKCollector(k: Int, docBase: Long, after: Option[(Double, Long)]) {
+final class TopKCollector(k: Int, docBase: Long, after: Option[(Double, Long)],
+                          hitsThreshold: Long = 0L) {
   // primitive parallel-array min-heap (no per-hit boxing — a batch run
   // creates one collector per (query, segment), so allocation here is hot):
   // root = weakest hit (lowest score; among equal, largest docId)
@@ -565,11 +566,22 @@ final class TopKCollector(k: Int, docBase: Long, after: Option[(Double, Long)]) 
   private val hDoc = new Array[Long](k)
   private var size = 0
   var collected: Long = 0L
+  /** true once a finite threshold was handed to a scorer — from then on
+    * `collected` is a LOWER bound (pruned docs never reach collect), the
+    * reference's TotalHits GREATER_THAN_OR_EQUAL_TO state
+    * (`core/search/hitsthresholdchecker.go` semantics). */
+  var pruned: Boolean = false
   private val hasAfter = after.isDefined
   private val afterScore = after.map(_._1).getOrElse(0.0)
   private val afterDoc = after.map(_._2).getOrElse(0L)
 
-  def minCompetitive: Double = if (size >= k) hScore(0) else Double.NegativeInfinity
+  /** Pruning threshold fed back to WAND / block-max conjunction. Stays
+    * -inf until `hitsThreshold` hits have been counted (Lucene's
+    * totalHitsThreshold contract: counting is EXACT up to the threshold,
+    * a lower bound beyond it). Default threshold 0 = prune ASAP. */
+  def minCompetitive: Double =
+    if (size >= k && collected >= hitsThreshold) { pruned = true; hScore(0) }
+    else Double.NegativeInfinity
 
   // a is "worse" than b if lower score, or equal score and larger docId
   @inline private def worse(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =

@@ -179,6 +179,23 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("TotalHits relation + hits-threshold (TopScoreDocCollector counting contract)") {
+    val q: Query = BoolQ(should = Seq(TermQ("import"), TermQ("def"), TermQ("val")))
+    val exact = Oracle.count(corpus, q)
+    // threshold = MaxValue: pruning off, counting exact
+    val (hits1, t1) = searcher.searchWithTotal(spark, q, 10, hitsThreshold = Long.MaxValue)
+    assert(t1 == TotalHits(exact, TotalHits.EQ))
+    assert(hits1.map(h => (h.docId, h.score)).toSeq == Oracle.topK(corpus, q, 10))
+    // tiny threshold: WAND prunes, total becomes a lower bound, rank unchanged
+    val (hits2, t2) = searcher.searchWithTotal(spark, q, 10, hitsThreshold = 10L)
+    assert(t2.relation == TotalHits.GTE && t2.value <= exact && t2.value >= 10L)
+    assert(hits2.map(h => (h.docId, h.score)).toSeq == Oracle.topK(corpus, q, 10))
+    // a query with fewer matches than the threshold counts exactly
+    val rareQ: Query = TermQ("id_17")
+    val (_, t3) = searcher.searchWithTotal(spark, rareQ, 5, hitsThreshold = 1000000L)
+    assert(t3 == TotalHits(Oracle.count(corpus, rareQ), TotalHits.EQ))
+  }
+
   test("multi-term queries run distributed (MultiTermQ) and match the oracle") {
     val k = 15
     val qs: Seq[(String, Query)] = Seq(

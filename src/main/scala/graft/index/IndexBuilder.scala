@@ -142,8 +142,10 @@ object IndexBuilder {
   def build(spark: SparkSession, docs: DataFrame, docIdCol: String,
             contentCol: String, indexDir: String,
             cfg: BuildConfig = BuildConfig(),
-            inputPath: String = ""): BuiltIndex =
-    buildInternal(spark, docs, docIdCol, contentCol, indexDir, cfg, inputPath, prev = None)
+            inputPath: String = "",
+            streamBatch: Long = -1L): BuiltIndex =
+    buildInternal(spark, docs, docIdCol, contentCol, indexDir, cfg, inputPath, prev = None,
+      streamBatch = streamBatch)
 
   /** Incremental append — the IndexWriter.AddDocument+Commit lifecycle
     * (`core/index/indexwriter.go:399,493`): index new docs as ADDITIONAL
@@ -157,17 +159,20 @@ object IndexBuilder {
   def append(spark: SparkSession, docs: DataFrame, docIdCol: String,
              contentCol: String, indexDir: String,
              cfg: BuildConfig = BuildConfig(),
-             inputPath: String = ""): BuiltIndex = {
+             inputPath: String = "",
+             streamBatch: Long = -1L): BuiltIndex = {
     val prev = IndexIO.readManifest(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"append requires a committed index at $indexDir"))
-    buildInternal(spark, docs, docIdCol, contentCol, indexDir, cfg, inputPath, Some(prev))
+    buildInternal(spark, docs, docIdCol, contentCol, indexDir, cfg, inputPath, Some(prev),
+      streamBatch = streamBatch)
   }
 
   private def buildInternal(spark: SparkSession, docs: DataFrame, docIdCol: String,
             contentCol: String, indexDir: String,
             cfg: BuildConfig,
             inputPath: String,
-            prev: Option[Manifest]): BuiltIndex = {
+            prev: Option[Manifest],
+            streamBatch: Long = -1L): BuiltIndex = {
     import spark.implicits._
     require(cfg.chunkDocs % PostingBlock.Size == 0, "chunkDocs must be a multiple of block size")
 
@@ -353,7 +358,10 @@ object IndexBuilder {
       docmetaBytes = IndexIO.dirBytes(spark, s"$indexDir/docmeta"),
       // appends preserve committed tombstones (update = delete + append)
       deleteGen = prev.map(_.deleteGen).getOrElse(0L),
-      deletedCount = prev.map(_.deletedCount).getOrElse(0L))
+      deletedCount = prev.map(_.deletedCount).getOrElse(0L),
+      lastStreamBatch =
+        if (streamBatch >= 0L) streamBatch
+        else prev.map(_.lastStreamBatch).getOrElse(-1L))
     IndexIO.writeManifest(spark, indexDir, manifest)
     // drop STALE staged generations (this one stays reusable for a
     // same-fingerprint re-build; prior gens would otherwise accumulate

@@ -104,7 +104,12 @@ final case class Manifest(
     // Collection/term statistics are NOT adjusted for deleted docs, exactly
     // like Lucene before segments merge away their tombstones.
     deleteGen: Long = 0L,
-    deletedCount: Long = 0L
+    deletedCount: Long = 0L,
+    // highest Structured-Streaming micro-batch id committed into this index
+    // (-1 = none): foreachBatch replays after a failure re-deliver the same
+    // batchId, and the streaming indexer skips batches <= this watermark —
+    // the manifest write IS the exactly-once commit point.
+    lastStreamBatch: Long = -1L
 )
 
 /** One tombstone: a deleted doc addressed segment-locally (the live-docs

@@ -120,26 +120,20 @@ object MinHashLsh {
     val bands = p.bands
     val rpb = p.rowsPerBand
 
-    // (doc, distinct shingle hashes) — computed once, reused by banding and
-    // by the exact verification join
-    val shingleRows = docs
+    val docsTyped = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        TextHash.shingles(text, k).iterator.map(sh => (id, TextHash.h64(sh)))
-      }
-      .toDF("doc_id", "shash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    try {
-      // banded bucket rows: (band, bucketHash, doc)
-      val bucketRows = shingleRows.as[(Long, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (id, it) =>
-          val hs = it.map(_._2).toArray
-          (id, signature(hs, ma, mb))
-        }
-        .flatMap { case (id, sig) =>
+    // banded bucket rows straight from a NARROW map: shingle, minhash, and
+    // band keys are all per-doc computations — nothing shuffles until the
+    // (band, bucket, doc) rows (b rows/doc of ~24 B, regardless of doc
+    // size) group into buckets
+    val bucketRows = docsTyped
+      .flatMap { case (id, text) =>
+        val hs = TextHash.shingles(text, k).map(TextHash.h64)
+        if (hs.isEmpty) Iterator.empty
+        else {
+          val sig = signature(hs, ma, mb)
           (0 until bands).iterator.map { band =>
             var h = 1125899906842597L ^ band
             var j = band * rpb
@@ -147,7 +141,10 @@ object MinHashLsh {
             (band, h, id)
           }
         }
-        .toDF("band", "bucket", "doc_id")
+      }
+      .toDF("band", "bucket", "doc_id")
+
+    {
 
       // candidate pairs from shared buckets (bounded per bucket)
       val maxBucket = p.maxBucket
@@ -165,11 +162,24 @@ object MinHashLsh {
         .distinct()
         .toDF("doc_a", "doc_b")
 
-      // EXACT Jaccard verification, only for candidate docs' shingles
-      val sizes = shingleRows.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // EXACT Jaccard verification — shingles are re-derived ONLY for docs
+      // that appear in >= 1 candidate pair (semi-join pushdown): the clean
+      // majority of a 100 TB corpus never materializes a shingle row here
+      val candDocs = candidates
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val candShingles = docsTyped.toDF("doc_id", "text")
+        .join(candDocs, "doc_id")
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          TextHash.shingles(text, k).iterator.map(sh => (id, TextHash.h64(sh)))
+        }
+        .toDF("doc_id", "shash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = candShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = candidates
-        .join(shingleRows.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(shingleRows.as("sb"),
+        .join(candShingles.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(candShingles.as("sb"),
           col("doc_b") === col("sb.doc_id") && col("sa.shash") === col("sb.shash"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
       val verified = inter
@@ -185,8 +195,9 @@ object MinHashLsh {
       // round-trip; the returned frame is itself cached
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
+      candShingles.unpersist(blocking = false)
       out
-    } finally shingleRows.unpersist(blocking = false)
+    }
   }
 }
 

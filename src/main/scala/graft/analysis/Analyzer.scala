@@ -103,7 +103,13 @@ final class Analyzer(val stopSet: Set[String] = Set.empty) extends Serializable 
     * runs once per document of the corpus — at 10^12 docs the per-token
     * garbage of the pretty path would dominate build GC.
     */
-  def termFreqCounts(text: String): (java.util.HashMap[String, Int], Int) = {
+  def termFreqCounts(text: String): (java.util.HashMap[String, Int], Int) =
+    termFreqCounts(text, null)
+
+  /** As [[termFreqCounts]], interning term strings through `intern` when
+    * non-null (one shared table per build partition: hot terms allocate
+    * their String ONCE per task instead of once per occurrence). */
+  def termFreqCounts(text: String, intern: TermIntern): (java.util.HashMap[String, Int], Int) = {
     val m = new java.util.HashMap[String, Int]()
     if (text == null || text.isEmpty) return (m, 0)
     val sb = new java.lang.StringBuilder(16)
@@ -111,12 +117,15 @@ final class Analyzer(val stopSet: Set[String] = Set.empty) extends Serializable 
     var inTok = false
     var count = 0
     val n = text.length
+    @inline def flush(): Unit = {
+      val term = if (intern == null) sb.toString else intern.intern(sb)
+      if (!stopSet.contains(term)) { m.merge(term, 1, (a, b) => a + b); count += 1 }
+    }
     while (i < n) {
       val cp = text.codePointAt(i)
       if (GoWhitespace.isSpace(cp)) {
         if (inTok) {
-          val term = sb.toString
-          if (!stopSet.contains(term)) { m.merge(term, 1, (a, b) => a + b); count += 1 }
+          flush()
           sb.setLength(0); inTok = false
         }
       } else {
@@ -125,10 +134,7 @@ final class Analyzer(val stopSet: Set[String] = Set.empty) extends Serializable 
       }
       i += Character.charCount(cp)
     }
-    if (inTok) {
-      val term = sb.toString
-      if (!stopSet.contains(term)) { m.merge(term, 1, (a, b) => a + b); count += 1 }
-    }
+    if (inTok) flush()
     (m, count)
   }
 
@@ -141,4 +147,71 @@ final class Analyzer(val stopSet: Set[String] = Set.empty) extends Serializable 
 
 object Analyzer {
   val standard: Analyzer = new Analyzer(Set.empty)
+}
+
+/** Open-addressing string intern table keyed by a StringBuilder's content —
+  * the allocation-free lookup the reference's byte-pool TermsHash performs
+  * (`core/index/termshashperfield.go`: terms live once in a shared pool).
+  * Zipf-distributed corpora re-tokenize the same hot terms in every doc;
+  * without interning, stage 1 allocates a fresh String per token occurrence
+  * (memory-bandwidth + GC pressure in the build's dominant stage). A miss
+  * allocates exactly one String; a hit allocates nothing.
+  */
+final class TermIntern(initialPow2: Int = 1 << 12, maxSize: Int = 1 << 20) {
+  private var keys = new Array[String](initialPow2)
+  private var size = 0
+
+  @inline private def hashOf(sb: java.lang.StringBuilder): Int = {
+    var h = 0
+    var i = 0
+    val n = sb.length
+    while (i < n) { h = h * 31 + sb.charAt(i); i += 1 }
+    h
+  }
+
+  @inline private def eq(s: String, sb: java.lang.StringBuilder): Boolean = {
+    val n = sb.length
+    if (s.length != n) return false
+    var i = 0
+    while (i < n) { if (s.charAt(i) != sb.charAt(i)) return false; i += 1 }
+    true
+  }
+
+  def intern(sb: java.lang.StringBuilder): String = {
+    val mask = keys.length - 1
+    var i = hashOf(sb) & mask
+    while (true) {
+      val k = keys(i)
+      if (k == null) {
+        val s = sb.toString
+        // beyond maxSize (pathological vocab) stop caching: still correct,
+        // just no reuse — the table never grows unbounded
+        if (size < maxSize) {
+          keys(i) = s
+          size += 1
+          if (size * 2 > keys.length) grow()
+        }
+        return s
+      }
+      if (eq(k, sb)) return k
+      i = (i + 1) & mask
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def grow(): Unit = {
+    val old = keys
+    keys = new Array[String](old.length << 1)
+    val mask = keys.length - 1
+    var j = 0
+    while (j < old.length) {
+      val s = old(j)
+      if (s != null) {
+        var i = s.hashCode & mask
+        while (keys(i) != null) i = (i + 1) & mask
+        keys(i) = s
+      }
+      j += 1
+    }
+  }
 }

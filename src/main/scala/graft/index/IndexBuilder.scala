@@ -400,6 +400,11 @@ object IndexBuilder {
     new Iterator[Stage1Row] {
       private val in = it.buffered
       private var out: Iterator[Stage1Row] = Iterator.empty
+      // one intern table per TASK: hot terms (the Zipf mass of any real
+      // corpus) allocate their String once per task, not once per
+      // occurrence — stage 1 is memory-bandwidth-bound, and token-string
+      // garbage was its largest allocation source
+      private val intern = new graft.analysis.TermIntern()
 
       private def flushChunk(): Iterator[Stage1Row] = {
         // consume the chunk that starts at the head's (seg, salt), flushing
@@ -424,7 +429,7 @@ object IndexBuilder {
           else {
             lastLocal = local
             in.next()
-            val (tf, len) = analyzer.termFreqCounts(content)
+            val (tf, len) = analyzer.termFreqCounts(content, intern)
             val nb = (len & 0xFF).toByte
             val tfIt = tf.entrySet().iterator()
             while (tfIt.hasNext) {

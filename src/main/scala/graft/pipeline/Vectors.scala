@@ -189,14 +189,41 @@ object EmbeddingNearDup {
     if ((idx * 2654435761L) % 4294967296L >= 2147483648L) 1.0 else -1.0
   }
 
-  /** h-bit sketch of v under table t. */
-  def sketch(v: Array[Float], t: Int, h: Int): Long = {
+  /** Dense sign table for (tables × h × dim) — precomputed once per
+    * executor task instead of re-deriving the integer mix per component
+    * per vector (T·h·d multiplies/mods per vector add up at 10^9 rows). */
+  def signTable(tables: Int, h: Int, dim: Int): Array[Double] = {
+    val tab = new Array[Double](tables * h * dim)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      while (b < h) {
+        var j = 0
+        while (j < dim) {
+          tab((t * h + b) * dim + j) = sign(t, b, j, h)
+          j += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    tab
+  }
+
+  /** h-bit sketch of v under table t (tab from [[signTable]] with the same
+    * dim; falls back to on-the-fly signs when tab is null). */
+  def sketch(v: Array[Float], t: Int, h: Int, tab: Array[Double] = null, dim: Int = 0): Long = {
     var key = 0L
     var b = 0
     while (b < h) {
       var s = 0.0
       var j = 0
-      while (j < v.length) { s += sign(t, b, j, h) * v(j); j += 1 }
+      if (tab != null) {
+        val off = (t * h + b) * dim
+        while (j < v.length) { s += tab(off + j) * v(j); j += 1 }
+      } else {
+        while (j < v.length) { s += sign(t, b, j, h) * v(j); j += 1 }
+      }
       if (s > 0) key |= (1L << b)
       b += 1
     }
@@ -211,8 +238,15 @@ object EmbeddingNearDup {
       .as[(Long, Array[Float])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val buckets = vecs.flatMap { case (id, v) =>
-        (0 until tables).iterator.map(t => (t, sketch(v, t, h), id))
+      val buckets = vecs.mapPartitions { it =>
+        var tab: Array[Double] = null
+        var dim = 0
+        it.flatMap { case (id, v) =>
+          if (tab == null || dim != v.length) { dim = v.length; tab = signTable(tables, h, dim) }
+          val localTab = tab
+          val localDim = dim
+          (0 until tables).iterator.map(t => (t, sketch(v, t, h, localTab, localDim), id))
+        }
       }.toDF("t", "key", "vec_id")
       val cand = buckets.as[(Int, Long, Long)]
         .groupByKey(r => (r._1, r._2))

@@ -48,6 +48,22 @@ object EngineProperties extends Properties("graft") {
       tf.values.sum == len && len == ws.size
     }
 
+  property("interned termFreqCounts == plain (and hot terms share one String)") =
+    Prop.forAll(Gen.listOf(doc)) { docs =>
+      val intern = new graft.analysis.TermIntern(initialPow2 = 4) // force growth
+      docs.forall { ws =>
+        val text = ws.mkString(" ")
+        val (a, la) = analyzer.termFreqCounts(text)
+        val (b, lb) = analyzer.termFreqCounts(text, intern)
+        la == lb && a == b
+      } && {
+        // same term interned twice returns the identical instance
+        val sb1 = new java.lang.StringBuilder("sametoken")
+        val sb2 = new java.lang.StringBuilder("sametoken")
+        intern.intern(sb1) eq intern.intern(sb2)
+      }
+    }
+
   // ---- posting block + scorer laws -------------------------------------
   val postingList: Gen[Array[Int]] =
     Gen.nonEmptyListOf(Gen.chooseNum(1, 8)).map(_.scanLeft(0)(_ + _).tail.toArray)

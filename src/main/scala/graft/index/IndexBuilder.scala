@@ -110,8 +110,12 @@ object IndexBuilder {
   def sha256Digest(s: String): Array[Byte] =
     tlMd.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  def sha256Hex(s: String): String = {
-    val d = sha256Digest(s)
+  /** Hex sha256 of raw bytes (thread-local digest + char-table encode). */
+  def bytesSha256Hex(bytes: Array[Byte]): String = hex(tlMd.get().digest(bytes))
+
+  def sha256Hex(s: String): String = hex(sha256Digest(s))
+
+  private def hex(d: Array[Byte]): String = {
     val out = new Array[Char](d.length * 2)
     var i = 0
     while (i < d.length) {

@@ -107,13 +107,21 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
     * (segmentId, term) within each file, so `filter(col("term") === t)` is
     * answered via parquet row-group min/max stats + dictionary pushdown
     * (the term-dictionary seek).
+    *
+    * Only generations <= this manifest's are visible (a zero-cost
+    * PARTITION filter): an orphan `gen=K` dir left by a crashed/in-flight
+    * append must never leak into a reader opened on the older manifest —
+    * the same fail-closed rule [[deleteRows]] applies to tombstones.
     */
   def postings(spark: SparkSession): DataFrame =
     spark.read.parquet(s"$indexDir/postings")
+      .where(org.apache.spark.sql.functions.col("gen") <= manifest.generation)
 
-  /** (segmentId, docId, norm, sha) — norms + the per-row sha256 invariant. */
+  /** (segmentId, docId, norm, sha) — norms + the per-row sha256 invariant.
+    * Same committed-generation visibility rule as [[postings]]. */
   def docmeta(spark: SparkSession): DataFrame =
     spark.read.parquet(s"$indexDir/docmeta")
+      .where(org.apache.spark.sql.functions.col("gen") <= manifest.generation)
 
   /** Committed tombstones (segmentId, localDoc); empty when the index has
     * no deletes. Only generations <= manifest.deleteGen are read, so an

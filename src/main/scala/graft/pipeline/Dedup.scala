@@ -32,6 +32,26 @@ object TextHash {
   }
 }
 
+/** Shared LSH-bucket machinery: ordered candidate pairs out of one bucket,
+  * bounded by `maxBucket` (degenerate hot buckets would otherwise go
+  * quadratic). One implementation keeps the cap/sort/pairing semantics in
+  * lockstep across MinHash, SimHash, and embedding LSH. */
+private[pipeline] object LshBuckets {
+  /** (a, b) with a < b over the sorted, capped id set. */
+  def boundedPairs(ids0: Array[Long], maxBucket: Int): Iterator[(Long, Long)] = {
+    java.util.Arrays.sort(ids0)
+    val n = math.min(ids0.length, maxBucket)
+    for { i <- (0 until n).iterator; j <- (i + 1) until n } yield (ids0(i), ids0(j))
+  }
+
+  /** As [[boundedPairs]] but rows carry a payload (sorted by id). */
+  def boundedPairsWith[P](rows0: Array[(Long, P)], maxBucket: Int): Iterator[((Long, P), (Long, P))] = {
+    val rows = rows0.sortBy(_._1)
+    val n = math.min(rows.length, maxBucket)
+    for { i <- (0 until n).iterator; j <- (i + 1) until n } yield (rows(i), rows(j))
+  }
+}
+
 /** Exact deduplication: hash-groupBy on sha256(content) — one shuffle of
   * (sha, id) pairs, never content. At 100 TB this is the cheapest dedup
   * pass: the shuffle moves 40ish bytes/doc regardless of document size.
@@ -144,20 +164,13 @@ object MinHashLsh {
       }
       .toDF("band", "bucket", "doc_id")
 
-    {
-
+    locally {
       // candidate pairs from shared buckets (bounded per bucket)
       val maxBucket = p.maxBucket
       val candidates = bucketRows.as[(Int, Long, Long)]
         .groupByKey(r => (r._1, r._2))
         .flatMapGroups { (_, it) =>
-          val ids = it.map(_._3).toArray
-          java.util.Arrays.sort(ids)
-          val n = math.min(ids.length, maxBucket)
-          for {
-            i <- (0 until n).iterator
-            j <- (i + 1) until n
-          } yield (ids(i), ids(j))
+          LshBuckets.boundedPairs(it.map(_._3).toArray, maxBucket)
         }
         .distinct()
         .toDF("doc_a", "doc_b")
@@ -254,14 +267,11 @@ object SimHash {
       val pairs = chunked.as[(Int, Long, Long, Long)]
         .groupByKey(r => (r._1, r._2))
         .flatMapGroups { (_, it) =>
-          val rows = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
-          val n = math.min(rows.length, maxBucket)
-          for {
-            i <- (0 until n).iterator
-            j <- (i + 1) until n
-            hd = java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2)
-            if hd <= maxHamming
-          } yield (rows(i)._1, rows(j)._1, hd)
+          LshBuckets.boundedPairsWith(it.map(r => (r._3, r._4)).toArray, maxBucket)
+            .flatMap { case ((ida, va), (idb, vb)) =>
+              val hd = java.lang.Long.bitCount(va ^ vb)
+              if (hd <= maxHamming) Iterator.single((ida, idb, hd)) else Iterator.empty
+            }
         }
         .toDF("doc_a", "doc_b", "hamming")
         .distinct()

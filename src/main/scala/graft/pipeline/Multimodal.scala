@@ -106,8 +106,10 @@ object Multimodal {
             val from = f * 256
             val until = math.min(from + 256, p.length)
             val frame = java.util.Arrays.copyOfRange(p, from, until)
-            val sha = java.security.MessageDigest.getInstance("SHA-256").digest(frame)
-            (id, f, sha.map("%02x".format(_)).mkString)
+            // thread-local digest + table hex (the per-frame fan-out makes
+            // getInstance + "%02x".format the dominant cost otherwise —
+            // same lesson as IndexBuilder.sha256Hex)
+            (id, f, graft.index.IndexBuilder.bytesSha256Hex(frame))
           }
         }
       }

@@ -183,9 +183,14 @@ object Ivf {
   */
 object EmbeddingNearDup {
 
-  /** +1/-1 hyperplane component for (table t, bit b, dim j). */
-  def sign(t: Int, b: Int, j: Int, h: Int): Double = {
-    val idx = ((t.toLong * h + b) * 64 + j + 1)
+  /** +1/-1 hyperplane component for (table t, bit b, component j) of a
+    * dim-dimensional vector. The stride is `dim` so distinct (bit, j)
+    * pairs never collide — a fixed stride smaller than dim would alias
+    * components across bits and correlate the sketch bits (recall would
+    * silently fall below the documented curve). dim=64 reproduces the q38
+    * oracle's formula exactly. */
+  def sign(t: Int, b: Int, j: Int, h: Int, dim: Int = 64): Double = {
+    val idx = ((t.toLong * h + b) * dim + j + 1)
     if ((idx * 2654435761L) % 4294967296L >= 2147483648L) 1.0 else -1.0
   }
 
@@ -200,7 +205,7 @@ object EmbeddingNearDup {
       while (b < h) {
         var j = 0
         while (j < dim) {
-          tab((t * h + b) * dim + j) = sign(t, b, j, h)
+          tab((t * h + b) * dim + j) = sign(t, b, j, h, dim)
           j += 1
         }
         b += 1
@@ -222,7 +227,7 @@ object EmbeddingNearDup {
         val off = (t * h + b) * dim
         while (j < v.length) { s += tab(off + j) * v(j); j += 1 }
       } else {
-        while (j < v.length) { s += sign(t, b, j, h) * v(j); j += 1 }
+        while (j < v.length) { s += sign(t, b, j, h, v.length) * v(j); j += 1 }
       }
       if (s > 0) key |= (1L << b)
       b += 1
@@ -251,10 +256,7 @@ object EmbeddingNearDup {
       val cand = buckets.as[(Int, Long, Long)]
         .groupByKey(r => (r._1, r._2))
         .flatMapGroups { (_, it) =>
-          val ids = it.map(_._3).toArray
-          java.util.Arrays.sort(ids)
-          val n = math.min(ids.length, maxBucket)
-          for { i <- (0 until n).iterator; j <- (i + 1) until n } yield (ids(i), ids(j))
+          LshBuckets.boundedPairs(it.map(_._3).toArray, maxBucket)
         }
         .distinct()
         .toDF("vec_a", "vec_b")

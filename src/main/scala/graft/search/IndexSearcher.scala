@@ -324,21 +324,28 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
 
   def termStats(spark: SparkSession, terms: Set[String]): Map[String, (Long, Long)] = {
     if (terms.isEmpty) return Map.empty
-    val missing = terms.filterNot(statsCache.containsKey)
-    if (missing.nonEmpty) {
-      val fetched = index.postings(spark)
-        .where(col("term").isin(missing.toSeq: _*))
-        .groupBy("term")
-        .agg(sum("docFreq").as("df"), sum("totalTermFreq").as("ttf"))
-        .collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-      // bound the memo (a long-lived searcher fed unbounded distinct terms
-      // must not grow the driver heap without limit; stats re-fetch is cheap)
-      if (statsCache.size() > (1 << 20)) statsCache.clear()
-      missing.foreach(t => statsCache.put(t, fetched.getOrElse(t, (0L, 0L))))
-    }
-    terms.iterator.map(t => t -> statsCache.get(t)).filter(_._2._1 > 0).toMap
+    // snapshot cache hits FIRST: the bound below may clear the cache, and
+    // the result must not depend on entries surviving it
+    val hits = terms.iterator
+      .flatMap(t => Option(statsCache.get(t)).map(t -> _)).toMap
+    val missing = terms -- hits.keySet
+    val fetched: Map[String, (Long, Long)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val f = index.postings(spark)
+          .where(col("term").isin(missing.toSeq: _*))
+          .groupBy("term")
+          .agg(sum("docFreq").as("df"), sum("totalTermFreq").as("ttf"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        // bound the memo (a long-lived searcher fed unbounded distinct terms
+        // must not grow the driver heap without limit; re-fetch is cheap)
+        if (statsCache.size() > (1 << 20)) statsCache.clear()
+        missing.foreach(t => statsCache.put(t, f.getOrElse(t, (0L, 0L))))
+        missing.iterator.map(t => t -> f.getOrElse(t, (0L, 0L))).toMap
+      }
+    (hits ++ fetched).filter(_._2._1 > 0)
   }
 
   def queryContext(spark: SparkSession, q: Query): QueryContext =

@@ -92,12 +92,40 @@ final case class RegexPred(pattern: String) extends TermPredicate {
   // compiled once per task (the closure ships only the string)
   @transient private lazy val re = java.util.regex.Pattern.compile(pattern)
   def matches(t: String): Boolean = re.matcher(t).matches()
-  /** Longest literal prefix of the pattern (chars up to the first regex
-    * metachar) — pushed to the scan as a startsWith so the term-sorted
-    * parquet skips row groups even for regexes. */
+  /** Longest literal prefix GUARANTEED present in every match — pushed to
+    * the scan as a startsWith so the term-sorted parquet skips row groups
+    * even for regexes. Soundness rules (an unsound prefix would silently
+    * drop matching terms from the scan):
+    *  - a top-level alternation ("abc|xyz") makes any prefix optional => ""
+    *  - a quantifier that can take the last literal to zero occurrences
+    *    ('*', '?', '{' — conservatively any brace) unbinds it => drop it
+    */
   def literalPrefix: String = {
+    // top-level '|' check (class- and escape-aware; group-internal '|'
+    // after the prefix is fine — the prefix chars are already consumed)
+    var depth = 0
+    var inClass = false
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' => i += 1 // skip escaped char
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass => depth += 1
+        case ')' if !inClass => depth -= 1
+        case '|' if !inClass && depth == 0 => return ""
+        case _ =>
+      }
+      i += 1
+    }
     val meta = ".?*+()[]{}|^$\\"
-    pattern.takeWhile(c => !meta.contains(c))
+    val lit = pattern.takeWhile(c => meta.indexOf(c.toInt) < 0)
+    if (lit.isEmpty) ""
+    else if (lit.length < pattern.length) {
+      val next = pattern.charAt(lit.length)
+      // '*' / '?' / '{m,n}' can erase the char they bind to; '+' cannot
+      if (next == '*' || next == '?' || next == '{') lit.dropRight(1) else lit
+    } else lit
   }
 }
 

@@ -179,6 +179,49 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("regex literal-prefix pushdown is SOUND (quantified/alternated prefixes)") {
+    // "imports?" must match "import" — a naive startsWith("imports") pushdown
+    // would filter the term out of the scan and silently drop its docs
+    val qs: Seq[(String, Query)] = Seq(
+      "optional_last" -> RegexpQ("imports?"),
+      "star_last" -> RegexpQ("fn77*"),       // matches fn7 and fn77
+      "alternation" -> RegexpQ("def|val"),   // top-level | => no prefix at all
+      "brace_last" -> RegexpQ("fn7{0,1}"))   // matches fn and fn7
+    qs.foreach { case (name, q) =>
+      val got = searcher.search(spark, q, 20).collect().map(h => (h.docId, h.score)).toSeq
+      assert(got == Oracle.topK(corpus, q, 20), s"$name")
+      assert(searcher.count(spark, q) == Oracle.count(corpus, q), s"count $name")
+    }
+    // the prefix computation itself
+    assert(RegexPred("imports?").literalPrefix == "import")
+    assert(RegexPred("abc|xyz").literalPrefix == "")
+    assert(RegexPred("a(b|c)d").literalPrefix == "a")
+    assert(RegexPred("ab*").literalPrefix == "a")
+    assert(RegexPred("ab+").literalPrefix == "ab") // + keeps >= 1 occurrence
+    assert(RegexPred("""a\|b""").literalPrefix == "a") // escaped | is literal
+  }
+
+  test("orphan (uncommitted) postings/docmeta generations are invisible to readers") {
+    import spark.implicits._
+    // simulate a crashed append: posting rows under a gen BEYOND the manifest
+    val before = searcher.search(spark, TermQ("import"), 10).collect().toSeq
+    val orphanGen = index.manifest.generation + 9
+    val junk = index.postings(spark).limit(3)
+      .drop("gen") // partition col comes from the path
+      .withColumn("docFreq", org.apache.spark.sql.functions.lit(999999))
+    junk.write.parquet(s"${index.indexDir}/postings/gen=$orphanGen")
+    spark.createDataset(Seq(graft.index.DocMeta(0, 0L, 77, "junk")))
+      .write.parquet(s"${index.indexDir}/docmeta/gen=$orphanGen")
+    try {
+      val after = searcher.search(spark, TermQ("import"), 10).collect().toSeq
+      assert(after == before, "orphan generation leaked into query results")
+      assert(index.docmeta(spark).where($"sha" === "junk").isEmpty, "orphan docmeta leaked")
+    } finally {
+      graft.index.IndexIO.delete(spark, s"${index.indexDir}/postings/gen=$orphanGen")
+      graft.index.IndexIO.delete(spark, s"${index.indexDir}/docmeta/gen=$orphanGen")
+    }
+  }
+
   test("TotalHits relation + hits-threshold (TopScoreDocCollector counting contract)") {
     val q: Query = BoolQ(should = Seq(TermQ("import"), TermQ("def"), TermQ("val")))
     val exact = Oracle.count(corpus, q)

@@ -289,6 +289,26 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"))
         .orderBy("doc_id")
     }),
+    // Structured-Streaming ingestion, end to end: the documents table
+    // arrives as TWO micro-batches (foreachBatch contract via indexBatch,
+    // exactly-once on batchId); the streamed index must reproduce the
+    // full-corpus term statistics bit-for-bit (df/ttf are invariant to the
+    // stream's docId re-assignment, so the oracle is the batch-build SQL)
+    "q45_stream_stats" -> ((spark: SparkSession, sfDir: String) => {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
+      val cfg = BuildConfig(numSegments = 2, chunkDocs = 128)
+      graft.streaming.StreamingIndexer.indexBatch(spark,
+        docs.where(col("doc_id") < 250), "doc_id", "text", dir, cfg, batchId = 0L)
+      graft.streaming.StreamingIndexer.indexBatch(spark,
+        docs.where(col("doc_id") >= 250), "doc_id", "text", dir, cfg, batchId = 1L)
+      val m = graft.index.IndexIO.readManifest(spark, dir).get
+      val s = new IndexSearcher(new BuiltIndex(dir, m))
+      val stats = s.termStats(spark, Set("spark", "join", "dup"))
+      stats.toSeq.map { case (t, (df, ttf)) => (t, df, ttf) }
+        .sortBy(_._1).toDF("term", "df", "ttf")
+    }),
     // PointRangeQuery analogue: BM25 matches + numeric doc-value range filter
     "q22_point_range" -> ((spark: SparkSession, sfDir: String) => {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -620,6 +640,10 @@ object SparkEntry {
         |  CASE WHEN length(text) = 0 THEN 0
         |       ELSE (octet_length(encode(text)) + 255) // 256 END::BIGINT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q45_stream_stats" ->
+      s"""$base SELECT term, count(*)::BIGINT AS df, CAST(sum(freq) AS BIGINT) AS ttf
+         |FROM tf WHERE term IN ('spark', 'join', 'dup')
+         |GROUP BY term ORDER BY term""".stripMargin,
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
     "q24_pure_negative" ->

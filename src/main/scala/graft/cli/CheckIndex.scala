@@ -22,6 +22,14 @@ import graft.index.{IndexBuilder, IndexIO, TermPostings}
   *  4. (optional, with input args) per-row sha256(content) equality against
   *     the source table — the BASELINE.json input_hint invariant.
   *
+  *  5. tombstones: every committed DeleteRow addresses an existing segment
+  *     and a local docId within its range; distinct tombstone count equals
+  *     the manifest's deletedCount (the O(1) MatchAll count depends on it).
+  *
+  * All reads go through the committed-generation view (BuiltIndex) — an
+  * orphan gen dir from a crashed append is reported as a warning, not a
+  * violation (readers can't see it; a retry or rebuild reclaims it).
+  *
   * args: <indexDir> [inputParquet idCol contentCol]
   * exit 0 = clean, 1 = violations, 2 = no committed index.
   */
@@ -34,10 +42,18 @@ object CheckIndex {
     val manifest = IndexIO.readManifest(spark, indexDir).getOrElse {
       System.err.println(s"[graft] no committed index at $indexDir"); sys.exit(2)
     }
+    val idx = new graft.index.BuiltIndex(indexDir, manifest)
     var bad = 0L
 
+    // ---- 0. orphan (uncommitted) generation dirs — warning only ---------
+    val raw = spark.read.parquet(s"$indexDir/postings")
+    val orphanGens = raw.select(col("gen").cast("long")).distinct().as[Long].collect()
+      .filter(_ > manifest.generation)
+    if (orphanGens.nonEmpty)
+      println(s"[graft] WARNING: orphan uncommitted postings generations ${orphanGens.mkString(",")} (invisible to readers)")
+
     // ---- 2. posting-list structural invariants -------------------------
-    val postingErrs = spark.read.parquet(s"$indexDir/postings").as[TermPostings]
+    val postingErrs = idx.postings(spark).as[TermPostings]
       .mapPartitions { it =>
         var errs = 0L
         it.foreach { tp =>
@@ -62,10 +78,10 @@ object CheckIndex {
     println(s"[graft] postings structural violations: $postingErrs")
 
     // ---- 1. manifest vs re-aggregated stats ----------------------------
-    val postAgg = spark.read.parquet(s"$indexDir/postings")
+    val postAgg = idx.postings(spark)
       .groupBy("segmentId").agg(sum("docFreq").as("sdf"), sum("totalTermFreq").as("sttf"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val docAgg = spark.read.parquet(s"$indexDir/docmeta")
+    val docAgg = idx.docmeta(spark)
       .groupBy("segmentId").agg(count(lit(1)).as("dc"), countDistinct("docId").as("dcd"),
         min("docId").as("lo"), max("docId").as("hi"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
@@ -85,6 +101,25 @@ object CheckIndex {
         err(s"docIds not dense: [$lo,$hi] != [${s.docBase},${s.docBase + dc - 1}]")
     }
 
+    // ---- 5. tombstone invariants ----------------------------------------
+    if (manifest.deletedCount > 0L) {
+      val segIds = manifest.segments.map(_.segmentId).toSet
+      val dels = idx.deleteRows(spark).persist()
+      val n = dels.count()
+      val distinctN = dels.distinct().count()
+      val outOfRange = dels.filter(d =>
+        !segIds.contains(d.segmentId) || d.localDoc < 0 ||
+          d.localDoc >= manifest.segmentSize).count()
+      if (distinctN != manifest.deletedCount) {
+        bad += 1
+        println(s"[graft] tombstones: distinct $distinctN != manifest deletedCount ${manifest.deletedCount}")
+      }
+      if (n != distinctN) { bad += 1; println(s"[graft] tombstones: $n rows, $distinctN distinct (dups)") }
+      if (outOfRange > 0) { bad += outOfRange; println(s"[graft] tombstones out of segment range: $outOfRange") }
+      dels.unpersist(blocking = false)
+      println(s"[graft] tombstones checked: $n (deleteGen=${manifest.deleteGen})")
+    }
+
     // ---- 4. optional sha256 invariant against the source ---------------
     if (args.length >= 4) {
       val (input, idCol, contentCol) = (args(1), args(2), args(3))
@@ -93,7 +128,7 @@ object CheckIndex {
         .as[(Long, String)]
         .map { case (id, c) => (id, IndexBuilder.sha256Hex(if (c == null) "" else c)) }
         .toDF("docId", "srcSha")
-      val mismatches = spark.read.parquet(s"$indexDir/docmeta")
+      val mismatches = idx.docmeta(spark)
         .join(src, "docId")
         .where(col("sha") =!= col("srcSha"))
         .count()

@@ -317,6 +317,26 @@ object SparkEntry {
         .where(col("n_chars").between(150, 300))
         .orderBy(col("s").desc, col("doc_id").asc).limit(10)
         .select(col("doc_id"), round(col("s"), 6).as("score"))
+    }),
+    // DocValuesFieldExistsQuery analogue: matches filtered by a doc-values
+    // column being present (Catalyst isNotNull, parquet null-count pushdown)
+    "q46_field_exists" -> ((spark: SparkSession, sfDir: String) => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      searcher(spark, sfDir).scoreAll(spark, TermQ("merge")).toDF("doc_id", "s")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .where(col("lang").isNotNull && col("lang") =!= "")
+        .orderBy(col("s").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), round(col("s"), 6).as("score"))
+    }),
+    // PointInSetQuery analogue: numeric doc-value IN-set filter (isin
+    // pushdown) over BM25 matches
+    "q47_point_in_set" -> ((spark: SparkSession, sfDir: String) => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      searcher(spark, sfDir).scoreAll(spark, TermQ("table")).toDF("doc_id", "s")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .where(col("n_chars").isin(157L, 246L, 300L, 406L, 512L))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), round(col("s"), 6).as("score"))
     })
   )
 
@@ -640,6 +660,16 @@ object SparkEntry {
         |  CASE WHEN length(text) = 0 THEN 0
         |       ELSE (octet_length(encode(text)) + 255) // 256 END::BIGINT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q46_field_exists" ->
+      s"""$base, h1 AS (${hits("merge")}),
+         |hits AS (SELECT h1.doc_id, h1.s FROM h1 JOIN documents d ON h1.doc_id = d.doc_id
+         |         WHERE d.lang IS NOT NULL AND d.lang <> '')
+         |${top(10)}""".stripMargin,
+    "q47_point_in_set" ->
+      s"""$base, h1 AS (${hits("table")}),
+         |hits AS (SELECT h1.doc_id, h1.s FROM h1 JOIN documents d ON h1.doc_id = d.doc_id
+         |         WHERE d.n_chars IN (157, 246, 300, 406, 512))
+         |${top(10)}""".stripMargin,
     "q45_stream_stats" ->
       s"""$base SELECT term, count(*)::BIGINT AS df, CAST(sum(freq) AS BIGINT) AS ttf
          |FROM tf WHERE term IN ('spark', 'join', 'dup')

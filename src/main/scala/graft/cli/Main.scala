@@ -52,17 +52,27 @@ object BuildIndex {
 }
 
 /** Query an index. Query syntax (one token per arg, Lucene-ish):
-  * `+term` = MUST, `-term` = MUST_NOT, `term` = SHOULD, `term*` = prefix.
+  * `+term` = MUST, `-term` = MUST_NOT, `term` = SHOULD, `term*` = prefix,
+  * `re:<regex>` = RegexpQuery (anchored full match),
+  * `[lo..hi]` / `[lo..hi)` = TermRangeQuery.
   * args: <indexDir> <k> <query terms...>
   */
 object Search {
+  private val RangeRe = """\[([^.\]]*)\.\.([^.\]]*)([\])])""".r
+
+  private def atom(t: String): Query = t match {
+    case s if s.startsWith("re:") => RegexpQ(s.drop(3))
+    case RangeRe(lo, hi, close) =>
+      TermRangeQ(Option(lo).filter(_.nonEmpty), Option(hi).filter(_.nonEmpty),
+        includeLo = true, includeHi = close == "]")
+    case s if s.endsWith("*") => PrefixQ(s.dropRight(1))
+    case s => TermQ(s)
+  }
+
   def parse(terms: Seq[String]): Query = {
-    val must = terms.filter(_.startsWith("+")).map(t => TermQ(t.drop(1)): Query)
-    val mustNot = terms.filter(_.startsWith("-")).map(t => TermQ(t.drop(1)): Query)
-    val should = terms.filterNot(t => t.startsWith("+") || t.startsWith("-")).map {
-      case t if t.endsWith("*") => PrefixQ(t.dropRight(1)): Query
-      case t => TermQ(t): Query
-    }
+    val must = terms.filter(_.startsWith("+")).map(t => atom(t.drop(1)))
+    val mustNot = terms.filter(_.startsWith("-")).map(t => atom(t.drop(1)))
+    val should = terms.filterNot(t => t.startsWith("+") || t.startsWith("-")).map(atom)
     Query.normalize(BoolQ(must = must, should = should, mustNot = mustNot))
   }
 

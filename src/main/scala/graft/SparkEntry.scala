@@ -289,6 +289,24 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"))
         .orderBy("doc_id")
     }),
+    // IVF with a FLAT (0-iteration) coarse quantizer — centroids = the 8
+    // lowest-id vectors, assignment = argmax cosine — which makes the whole
+    // bucketed-ANN path SQL-expressible: the oracle recomputes assignment,
+    // probe ranking, and the probed-bucket top-k (min assignment-tie gap on
+    // this data is 4e-4, 11 orders above cross-engine fp noise)
+    "q48_ann_ivf_flat" -> ((spark: SparkSession, sfDir: String) => {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qv = emb.where(col("vec_id") === 0L).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivf0-${IndexBuilder.sha256Hex(sfDir).take(12)}"
+      val cs = graft.pipeline.Ivf.build(spark, emb, "vec_id", "embedding", dir,
+        nCentroids = 8, iters = 0)
+      graft.pipeline.Ivf.search(spark, dir, cs, qv, nProbe = 3, k = 10)
+    }),
+    // end-to-end curation: exact dedup -> near-dup drop -> langid -> quality
+    "q49_curate" -> ((spark: SparkSession, sfDir: String) =>
+      graft.pipeline.Curation.curate(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")),
     // Structured-Streaming ingestion, end to end: the documents table
     // arrives as TWO micro-batches (foreachBatch contract via indexBatch,
     // exactly-once on batchId); the streamed index must reproduce the
@@ -670,6 +688,60 @@ object SparkEntry {
          |hits AS (SELECT h1.doc_id, h1.s FROM h1 JOIN documents d ON h1.doc_id = d.doc_id
          |         WHERE d.n_chars IN (157, 246, 300, 406, 512))
          |${top(10)}""".stripMargin,
+    "q48_ann_ivf_flat" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cid,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(c.cv, e.v) DESC, c.cid ASC) AS r
+        |  FROM e CROSS JOIN c),
+        |assign AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (SELECT cid FROM c CROSS JOIN q
+        |           ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC LIMIT 3)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+        |FROM e JOIN assign USING (vec_id) JOIN probes USING (cid) CROSS JOIN q
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q49_curate" ->
+      s"""$base, ${shingleBase.stripPrefix("WITH ")},
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT da, db, i::DOUBLE / (sa.n + sb.n - i) AS jac
+         |           FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db),
+         |losers AS (SELECT DISTINCT db AS doc_id FROM jpairs WHERE jac >= 0.8),
+         |m AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN term IN ('der','die','und','das','ist','nicht','ein') THEN freq ELSE 0 END) AS hde,
+         |    sum(CASE WHEN term IN ('the','a','of','and','is','to','in') THEN freq ELSE 0 END) AS hen,
+         |    sum(CASE WHEN term IN ('el','la','que','y','los','una','por') THEN freq ELSE 0 END) AS hes,
+         |    sum(CASE WHEN term IN ('le','et','les','des','une','est','dans') THEN freq ELSE 0 END) AS hfr
+         |  FROM tf GROUP BY 1),
+         |langok AS (
+         |  SELECT doc_id FROM m
+         |  WHERE greatest(hde, hen, hes, hfr) > 0
+         |    AND NOT (hde >= hen AND hde >= hes AND hde >= hfr)
+         |    AND (hen >= hes AND hen >= hfr)),
+         |qual AS (
+         |  SELECT d.doc_id,
+         |    round(CASE WHEN dl.len IS NULL OR dl.len = 0 THEN 0.0 ELSE
+         |      0.5 * least(1.0, dl.len / 50.0)
+         |      + 0.25 * (COALESCE(en.hits, 0) / dl.len::DOUBLE)
+         |      + 0.25 * (length(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')) / length(d.text)::DOUBLE)
+         |    END, 6) AS quality
+         |  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+         |  LEFT JOIN (SELECT doc_id,
+         |      sum(CASE WHEN term IN ('the','a','of','and','is','to','in') THEN freq ELSE 0 END)::BIGINT AS hits
+         |    FROM tf GROUP BY 1) en ON d.doc_id = en.doc_id),
+         |keepers AS (
+         |  SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS kp FROM documents)
+         |  WHERE doc_id = kp)
+         |SELECT k.doc_id FROM keepers k
+         |JOIN langok USING (doc_id)
+         |JOIN qual USING (doc_id)
+         |WHERE qual.quality >= 0.5
+         |  AND k.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY k.doc_id""".stripMargin,
     "q45_stream_stats" ->
       s"""$base SELECT term, count(*)::BIGINT AS df, CAST(sum(freq) AS BIGINT) AS ttf
          |FROM tf WHERE term IN ('spark', 'join', 'dup')

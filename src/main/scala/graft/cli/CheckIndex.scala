@@ -46,9 +46,19 @@ object CheckIndex {
     var bad = 0L
 
     // ---- 0. orphan (uncommitted) generation dirs — warning only ---------
-    val raw = spark.read.parquet(s"$indexDir/postings")
-    val orphanGens = raw.select(col("gen").cast("long")).distinct().as[Long].collect()
-      .filter(_ > manifest.generation)
+    // Listed via the FileSystem API, NOT a parquet read: the whole point of
+    // this probe is a crashed append, which leaves exactly the kind of
+    // truncated/corrupt files that would make `spark.read.parquet` throw
+    // and abort the remaining checks.
+    val orphanGens = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) Array.empty[Long]
+      else f.listStatus(p).flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("gen=")) n.drop(4).toLongOption else None
+      }.filter(_ > manifest.generation).sorted
+    }
     if (orphanGens.nonEmpty)
       println(s"[graft] WARNING: orphan uncommitted postings generations ${orphanGens.mkString(",")} (invisible to readers)")
 

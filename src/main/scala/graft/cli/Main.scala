@@ -54,17 +54,24 @@ object BuildIndex {
 /** Query an index. Query syntax (one token per arg, Lucene-ish):
   * `+term` = MUST, `-term` = MUST_NOT, `term` = SHOULD, `term*` = prefix,
   * `re:<regex>` = RegexpQuery (anchored full match),
-  * `[lo..hi]` / `[lo..hi)` = TermRangeQuery.
+  * `[lo..hi]` / `[lo..hi)` / `(lo..hi]` / `(lo..hi)` = TermRangeQuery
+  * (bracket = inclusive, paren = exclusive, per side).
   * args: <indexDir> <k> <query terms...>
   */
 object Search {
-  private val RangeRe = """\[([^.\]]*)\.\.([^.\]]*)([\])])""".r
+  // split on the FIRST `..` separator only (non-greedy lo), so bounds may
+  // themselves contain dots (`[v1.2..v1.9]`); both half-open sides supported
+  private val RangeRe = """([\[(])(.*?)\.\.(.*)([\])])""".r
 
   private def atom(t: String): Query = t match {
     case s if s.startsWith("re:") => RegexpQ(s.drop(3))
-    case RangeRe(lo, hi, close) =>
+    case RangeRe(open, lo, hi, close) =>
       TermRangeQ(Option(lo).filter(_.nonEmpty), Option(hi).filter(_.nonEmpty),
-        includeLo = true, includeHi = close == "]")
+        includeLo = open == "[", includeHi = close == "]")
+    case s if (s.startsWith("[") || s.startsWith("(")) && s.contains("..") =>
+      // looks like a range but failed to parse — don't silently TermQ it
+      System.err.println(s"[graft] WARNING: '$s' looks like a range but did not parse; treating as a term")
+      TermQ(s)
     case s if s.endsWith("*") => PrefixQ(s.dropRight(1))
     case s => TermQ(s)
   }

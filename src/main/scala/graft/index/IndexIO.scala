@@ -5,15 +5,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Manifest commit/read — the `segments_N` analogue
   * (`core/index/segmentinfos.go:39-46`): the manifest is written last, after
   * all segment parquet is durable, so a reader that finds a manifest sees a
-  * complete, consistent generation. Stored as a 1-row parquet dataset (plus
-  * the raw parquet _SUCCESS markers Spark already writes per directory).
+  * complete, consistent generation. Stored as a 1-row parquet dataset.
+  *
+  * Commits are VERSIONED like the reference's `segments_N` files
+  * (`core/index/segmentinfos.go:39-46` writes a NEW file then flips, never
+  * destroying the prior commit): each commit writes `manifest/v=N` (N = one
+  * past the highest existing version) and readers pick the highest version
+  * whose `_SUCCESS` marker exists. A crash mid-commit therefore leaves the
+  * PREVIOUS manifest fully readable — a delete-then-overwrite scheme would
+  * instead have a crash window in which a restarted stream/append sees "no
+  * index" and silently rebuilds from one batch (committed-data loss).
+  * Superseded versions are pruned after the new commit is durable (the
+  * newest two are kept, mirroring the reference's index-deletion policy
+  * keeping the last commit point).
   */
 object IndexIO {
   def manifestPath(indexDir: String): String = s"$indexDir/manifest"
 
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v=")) name.drop(2).toLongOption else None
+
+  /** Committed manifest versions: (version, path), ascending. */
+  private def manifestVersions(spark: SparkSession, dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
+      .filter { case (_, vp) => f.exists(new org.apache.hadoop.fs.Path(vp, "_SUCCESS")) }
+      .sortBy(_._1)
+  }
+
   def writeManifest(spark: SparkSession, indexDir: String, m: Manifest): Unit = {
     import spark.implicits._
-    Seq(m).toDS().coalesce(1).write.mode("overwrite").parquet(manifestPath(indexDir))
+    val dir = manifestPath(indexDir)
+    val next = manifestVersions(spark, dir).lastOption.map(_._1).getOrElse(0L) + 1L
+    Seq(m).toDS().coalesce(1).write.mode("overwrite").parquet(s"$dir/v=$next")
+    // prune AFTER the new version is durable: the newest two versions stay
+    // (crash-safety margin), everything older goes — including any legacy
+    // flat (unversioned) manifest files from the pre-versioned layout
+    val f = fs(spark, dir)
+    manifestVersions(spark, dir).dropRight(2)
+      .foreach { case (_, vp) => f.delete(vp, true) }
+    val p = new org.apache.hadoop.fs.Path(dir)
+    f.listStatus(p).foreach { st =>
+      if (st.isFile) f.delete(st.getPath, false) // legacy flat manifest parts
+    }
   }
 
   private def fs(spark: SparkSession, path: String) =
@@ -73,21 +111,27 @@ object IndexIO {
     if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
   }
 
-  /** Read the committed manifest, or None. A stale/partial/absent manifest
-    * dir must read as "no index" WITHOUT a Spark error-log spew (a killed
-    * bench JVM can leave a half-written dir; the old read-then-catch path
-    * logged a full AnalysisException stack that polluted the driver's bench
-    * stdout, BENCH_r01 tail). We therefore check for the _SUCCESS commit
-    * marker before asking Spark to read at all — readers fail closed.
+  /** Read the committed manifest, or None: the highest `v=N` version whose
+    * `_SUCCESS` marker exists (a crash mid-commit leaves a marker-less
+    * partial dir, which readers skip — fail-closed). A stale/partial/absent
+    * manifest dir must read as "no index" WITHOUT a Spark error-log spew (a
+    * killed bench JVM can leave a half-written dir; a read-then-catch probe
+    * would log a full AnalysisException stack that pollutes the driver's
+    * bench stdout, BENCH_r01 tail), so the _SUCCESS check happens before
+    * asking Spark to read at all. Falls back to the legacy flat layout
+    * (parquet files directly under `manifest/`) for pre-versioned indexes.
     */
   def readManifest(spark: SparkSession, indexDir: String): Option[Manifest] = {
     import spark.implicits._
     val dir = manifestPath(indexDir)
-    if (!exists(spark, s"$dir/_SUCCESS")) return None
-    try {
-      val ds = spark.read.parquet(dir).as[Manifest]
-      ds.collect().headOption
-    } catch { case scala.util.control.NonFatal(_) => None }
+    val target: Option[String] = manifestVersions(spark, dir).lastOption match {
+      case Some((_, vp)) => Some(vp.toString)
+      case None => if (exists(spark, s"$dir/_SUCCESS")) Some(dir) else None
+    }
+    target.flatMap { path =>
+      try spark.read.parquet(path).as[Manifest].collect().headOption
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 }
 
@@ -101,6 +145,35 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
   def nextDocBase: Long =
     (manifest.segments.map(_.segmentId).max + 1).toLong * manifest.segmentSize
 
+  /** Committed `gen=K` subdirectories of `root` with K <= maxGen, listed via
+    * the FileSystem API. Readers open ONLY these paths: an orphan gen dir
+    * left by a crashed append — possibly with truncated/corrupt parquet
+    * footers — is never touched, not even for schema inference (a raw
+    * `read.parquet(root)` + partition filter would still plan over the
+    * orphan's files and could throw on its footers). `basePath` keeps `gen`
+    * as a partition column for callers that group by it.
+    */
+  private def committedGenDirs(spark: SparkSession, root: String, maxGen: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("gen=")) n.drop(4).toLongOption.map(_ -> st.getPath) else None
+      }
+      .collect { case (g, gp) if g <= maxGen => gp.toString }
+      .sorted
+  }
+
+  private def readGens(spark: SparkSession, root: String, maxGen: Long): DataFrame = {
+    val dirs = committedGenDirs(spark, root, maxGen)
+    if (dirs.isEmpty) // no committed data dirs (shouldn't happen under a manifest)
+      throw new IllegalStateException(s"no committed gen<=$maxGen dirs under $root")
+    spark.read.option("basePath", root).parquet(dirs: _*)
+  }
+
   /** Posting lists under `postings/gen=N/` (one subdir per committed
     * generation; `gen` is a hive-style partition column). Files are written
     * by the stage-2 shuffle partitioned on (segmentId, term) and sorted by
@@ -108,20 +181,19 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
     * answered via parquet row-group min/max stats + dictionary pushdown
     * (the term-dictionary seek).
     *
-    * Only generations <= this manifest's are visible (a zero-cost
-    * PARTITION filter): an orphan `gen=K` dir left by a crashed/in-flight
-    * append must never leak into a reader opened on the older manifest —
-    * the same fail-closed rule [[deleteRows]] applies to tombstones.
+    * Only generations <= this manifest's are visible (enumerated dirs, so
+    * the orphan's files are never even opened): an orphan `gen=K` dir left
+    * by a crashed/in-flight append must never leak into a reader opened on
+    * the older manifest — the same fail-closed rule [[deleteRows]] applies
+    * to tombstones.
     */
   def postings(spark: SparkSession): DataFrame =
-    spark.read.parquet(s"$indexDir/postings")
-      .where(org.apache.spark.sql.functions.col("gen") <= manifest.generation)
+    readGens(spark, s"$indexDir/postings", manifest.generation)
 
   /** (segmentId, docId, norm, sha) — norms + the per-row sha256 invariant.
     * Same committed-generation visibility rule as [[postings]]. */
   def docmeta(spark: SparkSession): DataFrame =
-    spark.read.parquet(s"$indexDir/docmeta")
-      .where(org.apache.spark.sql.functions.col("gen") <= manifest.generation)
+    readGens(spark, s"$indexDir/docmeta", manifest.generation)
 
   /** Committed tombstones (segmentId, localDoc); empty when the index has
     * no deletes. Only generations <= manifest.deleteGen are read, so an
@@ -129,8 +201,7 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
   def deleteRows(spark: SparkSession): org.apache.spark.sql.Dataset[DeleteRow] = {
     import spark.implicits._
     if (manifest.deletedCount == 0L) spark.emptyDataset[DeleteRow]
-    else spark.read.parquet(s"$indexDir/deletes")
-      .where(org.apache.spark.sql.functions.col("gen") <= manifest.deleteGen)
+    else readGens(spark, s"$indexDir/deletes", manifest.deleteGen)
       .select($"segmentId", $"localDoc").as[DeleteRow]
   }
 }

@@ -39,9 +39,14 @@ object IndexOps {
     try {
       val n = newDel.count()
       if (n == 0L) return idx
-      val gen = m.generation + 1
-      newDel.write.mode("overwrite").parquet(s"$indexDir/deletes/gen=$gen")
-      val m2 = m.copy(generation = gen, deleteGen = gen, deletedCount = m.deletedCount + n)
+      // tombstone dirs are numbered by deleteGen ONLY — the shared
+      // `generation` counter stays untouched. Bumping it here would let a
+      // delete commit claim a generation number for which no postings/
+      // docmeta were written, aliasing an orphan postings/gen=K left by a
+      // crashed append into the committed-visibility window.
+      val dgen = m.deleteGen + 1
+      newDel.write.mode("overwrite").parquet(s"$indexDir/deletes/gen=$dgen")
+      val m2 = m.copy(deleteGen = dgen, deletedCount = m.deletedCount + n)
       IndexIO.writeManifest(spark, indexDir, m2)
       new BuiltIndex(indexDir, m2)
     } finally newDel.unpersist(blocking = false)

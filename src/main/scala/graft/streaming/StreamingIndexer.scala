@@ -41,13 +41,32 @@ object StreamingIndexer {
     val prev = IndexIO.readManifest(spark, indexDir)
     if (prev.exists(_.lastStreamBatch >= batchId)) return // replayed batch
     if (batch.isEmpty) return
+    // Fail-closed guard: index data present but no readable manifest means a
+    // commit was interrupted at the worst possible point (or the dir is
+    // foreign). A full build here would WIPE the existing postings/docmeta —
+    // silent loss of previously committed stream batches. Refuse; a human
+    // (or CheckIndex) decides whether to rebuild.
+    if (prev.isEmpty &&
+        (IndexIO.exists(spark, s"$indexDir/postings") || IndexIO.exists(spark, s"$indexDir/docmeta")))
+      throw new IllegalStateException(
+        s"$indexDir contains index data but no committed manifest — refusing a " +
+          "wiping rebuild from one micro-batch; inspect/rebuild explicitly")
     val base = prev.map(m =>
       (m.segments.map(_.segmentId).max + 1).toLong * m.segmentSize).getOrElse(0L)
-    // rank within the batch -> dense ids at the next segment boundary.
-    // A single-partition window is fine: micro-batches are small by
-    // definition; bulk loads go through IndexBuilder.build directly.
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-    val withIds = batch.withColumn("__doc_id", row_number().over(w).cast("long") - 1L + base)
+    // rank within the batch -> dense ids at the next segment boundary,
+    // DISTRIBUTED: range-partition by the order column, sort within
+    // partitions, then zipWithIndex (partition offsets = one tiny count
+    // job). A Window.orderBy with no partitionBy would pull the whole
+    // micro-batch into ONE task — a burst batch would serialize on (and
+    // could OOM) a single executor.
+    val parts = math.max(1, math.min(batch.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism))
+    val sorted = batch.repartitionByRange(parts, col(orderCol)).sortWithinPartitions(orderCol)
+    val schema = sorted.schema.add("__doc_id", org.apache.spark.sql.types.LongType)
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + i))
+    }
+    val withIds = spark.createDataFrame(ranked, schema)
     prev match {
       case None =>
         IndexBuilder.build(spark, withIds, "__doc_id", contentCol, indexDir, cfg,

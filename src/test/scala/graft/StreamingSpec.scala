@@ -51,6 +51,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.length == 3)
   }
 
+  test("multi-partition burst batch: docId assignment is distributed and order-correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-burst").toString
+    // a burst batch spread over several partitions, ids deliberately shuffled
+    val n = 4000
+    val rows = scala.util.Random.shuffle((0 until n).toVector)
+      .map(i => (i.toLong + 100L, s"burst doc w${i % 37} common"))
+    val batch = spark.createDataset(rows).repartition(8).toDF("event_id", "content")
+    assert(batch.rdd.getNumPartitions > 1, "precondition: batch spans >1 partition")
+    StreamingIndexer.indexBatch(spark, batch, "event_id", "content", dir,
+      BuildConfig(numSegments = 4, chunkDocs = 512), batchId = 0L)
+    val m = IndexIO.readManifest(spark, dir).get
+    assert(m.stats.docCount == n.toLong)
+    // ids must be the dense 0..n-1 rank of event_id order: doc k holds the
+    // content of event_id 100+k — check via the sha invariant on docmeta
+    val idx = new graft.index.BuiltIndex(dir, m)
+    val byDoc = idx.docmeta(spark).select("docId", "sha").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.size == n)
+    val expect = rows.sortBy(_._1).zipWithIndex.map { case ((_, c), k) =>
+      k.toLong -> graft.index.IndexBuilder.sha256Hex(c)
+    }
+    expect.foreach { case (k, sha) => assert(byDoc(k) == sha, s"docId $k content mismatch") }
+    // and the assignment genuinely ran distributed (not one window task)
+    val parts = batch.repartitionByRange(
+      math.min(batch.rdd.getNumPartitions, spark.sparkContext.defaultParallelism),
+      org.apache.spark.sql.functions.col("event_id")).rdd.getNumPartitions
+    assert(parts > 1, "rank assignment must span >1 partition")
+    val s = new IndexSearcher(idx)
+    assert(s.count(spark, TermQ("common")) == n.toLong)
+  }
+
+  test("crash-mid-commit safety: a partial manifest version is invisible; data without manifest refuses rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-crash").toString
+    val batch = Seq((1L, "crashsafe one"), (2L, "crashsafe two")).toDF("event_id", "content")
+    StreamingIndexer.indexBatch(spark, batch, "event_id", "content", dir, cfg, batchId = 0L)
+    val m1 = IndexIO.readManifest(spark, dir).get
+    // simulate a crash DURING the next manifest commit: a half-written
+    // version dir with no _SUCCESS marker must not shadow the committed one
+    val partial = new java.io.File(s"$dir/manifest/v=99")
+    partial.mkdirs()
+    java.nio.file.Files.writeString(partial.toPath.resolve("part-junk.parquet"), "truncated")
+    assert(IndexIO.readManifest(spark, dir).contains(m1),
+      "reader must still see the previous committed manifest")
+    org.apache.commons.io.FileUtils.deleteDirectory(partial)
+    // simulate the worst case: ALL manifest versions lost but data intact —
+    // a replayed batch must refuse the wiping full rebuild (fail closed)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/manifest"))
+    val ex = intercept[IllegalStateException] {
+      StreamingIndexer.indexBatch(spark, batch, "event_id", "content", dir, cfg, batchId = 1L)
+    }
+    assert(ex.getMessage.contains("refusing"))
+  }
+
   test("replayed micro-batch is idempotent (exactly-once on batchId)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-replay").toString
     val batch = Seq((10L, "replay doc one"), (11L, "replay doc two")).toDF("event_id", "content")

@@ -37,13 +37,15 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f3-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         // small chunkDocs so even the sf-scale tables split into several
         // segments (segSize rounds up to a chunk multiple) — the verify
-        // path must exercise the multi-segment merge + MergeTopDocs
+        // path must exercise the multi-segment merge + MergeTopDocs.
+        // Positions stored so the same index serves phrase queries (q50).
         val idx = IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
-          BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = docsPath)
+          BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true),
+          inputPath = docsPath)
         new IndexSearcher(idx)
       })
     }
@@ -60,7 +62,7 @@ object SparkEntry {
     mfCached.synchronized {
       mfCached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f3-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         val idx = MultiFieldIndex.buildOrLoad(spark, docs, "doc_id",
           Seq("text", "lang", "source"), indexDir,
@@ -77,7 +79,7 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(s"$sfDir#del", {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f3-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
           BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = docsPath)
@@ -250,16 +252,25 @@ object SparkEntry {
     "q38_embed_neardup" -> ((spark: SparkSession, sfDir: String) =>
       graft.pipeline.EmbeddingNearDup.pairs(spark,
         spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding", tau = 0.4)),
-    // IVF partition-pruned ANN (spherical k-means buckets; nProbe trade).
-    // No SQL oracle (centroid training is iterative) -> rows-only check
-    // here; AnnSpec property-tests probed-bucket rank identity.
-    "q39_ann_ivf" -> ((spark: SparkSession, sfDir: String) => {
+    // IVF partition-pruned ANN (spherical k-means buckets; nProbe trade),
+    // certified by RECALL against the brute-force exhaustive top-k (q37's
+    // oracle-green operator): the trained quantizer is iterative (not SQL),
+    // so the CONTRACT is oracled instead — recall@10 >= the bound the
+    // (nProbe, nCentroids) setting guarantees on any input. Deterministic:
+    // seedless k-means (lowest-id init + fixed Lloyd steps).
+    "q39_ann_ivf_recall" -> ((spark: SparkSession, sfDir: String) => {
+      import spark.implicits._
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val qv = emb.where(col("vec_id") === 0L).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivf-${IndexBuilder.sha256Hex(sfDir).take(12)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivf-f3-${IndexBuilder.sha256Hex(sfDir).take(12)}"
       val cs = graft.pipeline.Ivf.build(spark, emb, "vec_id", "embedding", dir, nCentroids = 32)
-      graft.pipeline.Ivf.search(spark, dir, cs, qv, nProbe = 8, k = 10)
+      val ivfTop = graft.pipeline.Ivf.search(spark, dir, cs, qv, nProbe = 16, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      val bfTop = graft.pipeline.Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", qv, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val recall = ivfTop.intersect(bfTop).size.toDouble / bfTop.size
+      Seq((10L, 16L, 32L, recall >= 0.7)).toDF("k", "n_probe", "n_centroids", "recall_ge_bound")
     }),
     // ---- text analysis (narrow maps, zero shuffle) ----------------------
     "q40_langid" -> ((spark: SparkSession, sfDir: String) =>
@@ -307,6 +318,27 @@ object SparkEntry {
     "q49_curate" -> ((spark: SparkSession, sfDir: String) =>
       graft.pipeline.Curation.curate(spark,
         spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")),
+    // RangeField relations (rangefieldquery.go QueryType): per-row interval
+    // [price*(1-discount), price] vs query box [20000, 30000] — one count
+    // per topological relation, all four predicates codegen'd + pushed down
+    "q51_range_relations" -> ((spark: SparkSession, sfDir: String) => {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lo"),
+          col("l_extendedprice").as("hi"))
+      val (qlo, qhi) = (lit(20000.0), lit(30000.0))
+      import graft.search.RangeField._
+      li.agg(
+        sum(when(intersects(col("lo"), col("hi"), qlo, qhi), 1L).otherwise(0L)).as("n_intersects"),
+        sum(when(within(col("lo"), col("hi"), qlo, qhi), 1L).otherwise(0L)).as("n_within"),
+        sum(when(contains(col("lo"), col("hi"), qlo, qhi), 1L).otherwise(0L)).as("n_contains"),
+        sum(when(crosses(col("lo"), col("hi"), qlo, qhi), 1L).otherwise(0L)).as("n_crosses"))
+    }),
+    // SORTED_SET doc-values facet (docvaluestype.go SORTED_SET): top-10
+    // terms by matching-doc count over the docs matching TermQ("dup") —
+    // the postings table is the docId->ords map, swept and joined against
+    // the match set
+    "q52_sorted_set_facet" -> ((spark: SparkSession, sfDir: String) =>
+      searcher(spark, sfDir).facetTopTerms(spark, TermQ("dup"), 10)),
     // Structured-Streaming ingestion, end to end: the documents table
     // arrives as TWO micro-batches (foreachBatch contract via indexBatch,
     // exactly-once on batchId); the streamed index must reproduce the
@@ -315,7 +347,7 @@ object SparkEntry {
     "q45_stream_stats" -> ((spark: SparkSession, sfDir: String) => {
       import spark.implicits._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f3-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
       val cfg = BuildConfig(numSegments = 2, chunkDocs = 128)
       graft.streaming.StreamingIndexer.indexBatch(spark,
         docs.where(col("doc_id") < 250), "doc_id", "text", dir, cfg, batchId = 0L)
@@ -345,6 +377,31 @@ object SparkEntry {
         .where(col("lang").isNotNull && col("lang") =!= "")
         .orderBy(col("s").desc, col("doc_id").asc).limit(10)
         .select(col("doc_id"), round(col("s"), 6).as("score"))
+    }),
+    // exact-phrase query (PhraseQuery, slop 0): positions stream + two-phase
+    // confirm (docs-level conjunction approximates, prox intersect confirms);
+    // BM25 weight = sum of term idfs, freq = phrase occurrences
+    "q50_phrase" -> topk(PhraseQ(Seq("table", "hash")), 10),
+    // forceMerge lifecycle (MergePolicy/SegmentMerger): delete-by-term, then
+    // compact all generations into one — tombstones reclaimed, docIDs
+    // remapped dense (Lucene merge semantics), statistics CORRECTED to the
+    // live corpus. Hits are keyed by the content sha (docIDs are not stable
+    // across merges, exactly as in Lucene); row order = score desc then
+    // compacted docId asc, which the oracle reproduces as live-doc order.
+    "q53_force_merge" -> ((spark: SparkSession, sfDir: String) => {
+      val docsPath = s"$sfDir/documents.parquet"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f3-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val docs = spark.read.parquet(docsPath)
+      IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", dir,
+        BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true),
+        inputPath = docsPath)
+      graft.index.IndexOps.deleteByTerm(spark, dir, "dup") // no-op on a compacted reload
+      val merged = graft.index.IndexOps.forceMerge(spark, dir)
+      val s = new IndexSearcher(merged)
+      val hits = s.search(spark, TermQ("join"), 10).toDF("doc_id", "s")
+      hits.join(merged.docmeta(spark).select(col("docId").as("doc_id"), col("sha")), "doc_id")
+        .orderBy(col("s").desc, col("doc_id").asc)
+        .select(col("sha"), round(col("s"), 6).as("score"))
     }),
     // PointInSetQuery analogue: numeric doc-value IN-set filter (isin
     // pushdown) over BM25 matches
@@ -746,6 +803,83 @@ object SparkEntry {
       s"""$base SELECT term, count(*)::BIGINT AS df, CAST(sum(freq) AS BIGINT) AS ttf
          |FROM tf WHERE term IN ('spark', 'join', 'dup')
          |GROUP BY term ORDER BY term""".stripMargin,
+    // the recall CONTRACT row: the Spark side computes IVF recall@10 vs the
+    // brute-force top-10 and asserts the (nProbe=16 of 32) bound; the oracle
+    // pins the expected contract values (hash-green iff the bound held)
+    "q39_ann_ivf_recall" ->
+      """SELECT 10::BIGINT AS k, 16::BIGINT AS n_probe, 32::BIGINT AS n_centroids,
+        |       true AS recall_ge_bound""".stripMargin,
+    "q51_range_relations" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice * (1 - l_discount) AS lo, l_extendedprice AS hi
+        |  FROM lineitem
+        |)
+        |SELECT
+        |  sum(CASE WHEN lo <= 30000.0 AND hi >= 20000.0 THEN 1 ELSE 0 END)::BIGINT AS n_intersects,
+        |  sum(CASE WHEN lo >= 20000.0 AND hi <= 30000.0 THEN 1 ELSE 0 END)::BIGINT AS n_within,
+        |  sum(CASE WHEN lo <= 20000.0 AND hi >= 30000.0 THEN 1 ELSE 0 END)::BIGINT AS n_contains,
+        |  sum(CASE WHEN (lo <= 30000.0 AND hi >= 20000.0)
+        |            AND NOT (lo >= 20000.0 AND hi <= 30000.0)
+        |            AND NOT (lo <= 20000.0 AND hi >= 30000.0) THEN 1 ELSE 0 END)::BIGINT AS n_crosses
+        |FROM r""".stripMargin,
+    "q52_sorted_set_facet" ->
+      s"""$base, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+         |fac AS (SELECT tf.term, count(*)::BIGINT AS cnt FROM tf JOIN m USING (doc_id) GROUP BY 1)
+         |SELECT term, cnt FROM fac ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
+    // phrase BM25: positions = subscripts of the whitespace token list;
+    // phrase freq = adjacent-pair count; weight = idf('table') + idf('hash')
+    "q50_phrase" ->
+      raw"""$base, tl AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+           |  FROM documents
+           |), pos AS (
+           |  SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS p FROM tl
+           |), pf AS (
+           |  SELECT a.doc_id, count(*)::BIGINT AS freq
+           |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+           |  WHERE a.term = 'table' AND b.term = 'hash' GROUP BY 1
+           |), wsum AS (
+           |  SELECT sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))) AS w
+           |  FROM df CROSS JOIN st WHERE df.term IN ('table', 'hash')
+           |), hits AS (
+           |  SELECT pf.doc_id,
+           |    wsum.w - wsum.w / (1.0 + pf.freq
+           |      * (1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len % 256) / st.avgdl)))) AS s
+           |  FROM pf JOIN dl USING (doc_id) CROSS JOIN wsum CROSS JOIN st
+           |)
+           |${top(10)}""".stripMargin,
+    // compacted-index BM25 == fresh BM25 over the LIVE corpus (docs without
+    // 'dup'): stats corrected, tombstoned docs gone; hits keyed by sha, row
+    // order = score desc then live-doc order (the compaction remap is
+    // monotone, so compacted docId order == old doc_id order among lives)
+    "q53_force_merge" ->
+      raw"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents
+           |), dupdocs AS (
+           |  SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'
+           |), live AS (
+           |  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dupdocs)
+           |), ltok AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM live
+           |), tf AS (
+           |  SELECT doc_id, term, count(*)::BIGINT AS freq FROM ltok WHERE term <> '' GROUP BY 1, 2
+           |), dl AS (
+           |  SELECT doc_id, count(*)::BIGINT AS len FROM ltok WHERE term <> '' GROUP BY 1
+           |), st AS (
+           |  SELECT count(*)::BIGINT AS n, sum(len)::DOUBLE / count(*) AS avgdl FROM dl
+           |), df AS (
+           |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+           |), hits AS (
+           |  SELECT tf.doc_id,
+           |    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           |      - ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           |        / (1.0 + tf.freq * (1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len % 256) / st.avgdl)))) AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st
+           |  WHERE tf.term = 'join'
+           |)
+           |SELECT sha256(d.text) AS sha, round(h.s, 6) AS score
+           |FROM hits h JOIN live d USING (doc_id)
+           |ORDER BY h.s DESC, d.doc_id ASC LIMIT 10""".stripMargin,
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
     "q24_pure_negative" ->

@@ -143,6 +143,55 @@ final class Analyzer(val stopSet: Set[String] = Set.empty) extends Serializable 
     val (m, len) = termFreqCounts(text)
     (scala.jdk.CollectionConverters.MapHasAsScala(m).asScala, len)
   }
+
+  /** Per-document term -> ascending token positions, plus the field length —
+    * the positions-enabled sibling of [[termFreqCounts]] (freq = positions
+    * per term; the prox stream of the reference's
+    * `core/index/freqproxtermswriterperfield.go:96-122`). Position = index
+    * among EMITTED tokens (the standard chain leaves no stop-word holes,
+    * matching [[tokenize]]). Same allocation discipline: streaming loop,
+    * interned terms, primitive position buffers.
+    */
+  def termPositionCounts(text: String, intern: TermIntern): (java.util.HashMap[String, IntBuf], Int) = {
+    val m = new java.util.HashMap[String, IntBuf]()
+    if (text == null || text.isEmpty) return (m, 0)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    var inTok = false
+    var count = 0
+    val n = text.length
+    @inline def flush(): Unit = {
+      val term = if (intern == null) sb.toString else intern.intern(sb)
+      if (!stopSet.contains(term)) {
+        var b = m.get(term)
+        if (b == null) { b = new IntBuf; m.put(term, b) }
+        b.add(count)
+        count += 1
+      }
+    }
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (GoWhitespace.isSpace(cp)) {
+        if (inTok) { flush(); sb.setLength(0); inTok = false }
+      } else {
+        inTok = true
+        sb.appendCodePoint(lowerCp(cp))
+      }
+      i += Character.charCount(cp)
+    }
+    if (inTok) flush()
+    (m, count)
+  }
+}
+
+/** Growable primitive int buffer (no boxing; build-path hot). */
+final class IntBuf(initial: Int = 4) {
+  var a = new Array[Int](initial)
+  var n = 0
+  def add(v: Int): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+    a(n) = v; n += 1
+  }
 }
 
 object Analyzer {

@@ -87,10 +87,19 @@ object BenchLevel {
     val shm = "/dev/shm/graft-bench"
     new java.io.File(shm).mkdirs()
 
+    // Shuffle width scales with the level's cores, exactly as a real N- vs
+    // 4N-executor cluster would size it (partitions ∝ total cores). With a
+    // FIXED 64 at both levels, the stage-2 sort ran as 2 waves of heavy
+    // tasks at 32 threads, each task getting 1/32 of the execution-memory
+    // pool (vs 1/8 at local[8]) — measured as stage2-merge ANTI-scaling
+    // (5.6 s at N -> 11.5 s at 4N, BENCH_r02). Index GEOMETRY (64 segments,
+    // 1024-doc chunks) stays identical across levels, so results are
+    // bit-identical; only the shuffle task granularity differs.
+    val shuffleParts = math.max(64, 4 * cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-level-$cpus")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       // the corpus is 64 smallish files; default 128M/4M split bin-packing
       // would coalesce the scan into ~3 partitions and serialize the whole
       // read+shuffle-write map side regardless of core count
@@ -101,7 +110,7 @@ object BenchLevel {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cfg = BuildConfig(numSegments = 64, outputPartitions = Some(64), chunkDocs = 1024)
+    val cfg = BuildConfig(numSegments = 64, outputPartitions = Some(shuffleParts), chunkDocs = 1024)
 
     val docs = spark.read.parquet(corpusPath)
     val nDocs = docs.count()
@@ -140,11 +149,14 @@ object BenchLevel {
     }
     val contigPhases = IndexBuilder.lastPhases.toSeq
 
-    // timed: reference query set as one distributed batch
+    // timed: reference query set as one distributed batch. TWO timed runs,
+    // min: the batch is cheap relative to the host's noise windows, and an
+    // in-JVM repeat smooths sub-minute co-tenancy spikes that a single shot
+    // would bake into the level's number.
     val searcher = new IndexSearcher(idx)
     val queries = SyntheticCorpus.referenceQueries(nQueries)
     var hits: Array[graft.search.QueryHit] = null
-    val batchSecs = (1 to 1).map { _ =>
+    val batchSecs = (1 to 2).map { _ =>
       val (h, secs) = timed(searcher.searchMany(spark, queries, k).collect())
       hits = h
       secs

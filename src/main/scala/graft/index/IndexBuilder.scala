@@ -65,7 +65,12 @@ final case class BuildConfig(
     outputPartitions: Option[Int] = None,
     stageCheckpoint: Boolean = false,
     stopWords: Set[String] = Set.empty,
-    assumeContiguous: Boolean = false)
+    assumeContiguous: Boolean = false,
+    /** store the positions stream in posting blocks (IndexOptions
+      * DOCS_AND_FREQS_AND_POSITIONS, `core/document/indexoptions.go:3-29`) —
+      * required for [[graft.search.PhraseQ]]; appends must match the
+      * committed index's setting */
+    storePositions: Boolean = false)
 
 /** Spark-native inverted-index builder (SURVEY.md §7 modules 3-4).
   *
@@ -261,8 +266,9 @@ object IndexBuilder {
         // split across runs/partitions yield partial rows; stage 2
         // re-orders them by firstDoc and asserts their ranges don't
         // interleave, so a violated layout contract FAILS the build.
+        val storePos = cfg.storePositions
         input.rdd.mapPartitions { it =>
-          invertChunks(it, analyzer, segSizeL, chunkDocs)
+          invertChunks(it, analyzer, segSizeL, chunkDocs, storePos)
         }
       } else {
         val partitioner = new org.apache.spark.Partitioner {
@@ -270,9 +276,10 @@ object IndexBuilder {
           def getPartition(key: Any): Int =
             ((key.asInstanceOf[Long] / chunkDocs) % stage1Parts).toInt
         }
+        val storePos = cfg.storePositions
         input.rdd
           .repartitionAndSortWithinPartitions(partitioner)
-          .mapPartitions(it => invertChunks(it, analyzer, segSizeL, chunkDocs))
+          .mapPartitions(it => invertChunks(it, analyzer, segSizeL, chunkDocs, storePos))
       }
     val chunked: Dataset[Stage1Row] = spark.createDataset(chunkedRdd)
 
@@ -352,8 +359,14 @@ object IndexBuilder {
       case Some(m) => sha256Hex(s"${m.corpusSha}+${indexFingerprint(inputPath, docCount)}")
       case None => indexFingerprint(inputPath, docCount)
     }
+    prev.foreach { m =>
+      require(m.hasPositions == cfg.storePositions,
+        s"append storePositions=${cfg.storePositions} must match the committed " +
+          s"index's hasPositions=${m.hasPositions} (a mixed index would break phrase queries)")
+    }
     val manifest = Manifest(
       generation = generation,
+      minGen = prev.map(_.minGen).getOrElse(generation),
       numSegments = segs.size,
       segmentSize = segSize,
       stats = stats, segments = segs,
@@ -365,7 +378,8 @@ object IndexBuilder {
       deletedCount = prev.map(_.deletedCount).getOrElse(0L),
       lastStreamBatch =
         if (streamBatch >= 0L) streamBatch
-        else prev.map(_.lastStreamBatch).getOrElse(-1L))
+        else prev.map(_.lastStreamBatch).getOrElse(-1L),
+      hasPositions = cfg.storePositions)
     IndexIO.writeManifest(spark, indexDir, manifest)
     // drop STALE staged generations (this one stays reusable for a
     // same-fingerprint re-build; prior gens would otherwise accumulate
@@ -382,12 +396,16 @@ object IndexBuilder {
     * bounded by one chunk's postings regardless of corpus size.
     */
   /** Growable primitive posting buffer — no per-append boxing (the build's
-    * hottest allocation site: one append per (doc, distinct term)). */
-  private final class TermBuf {
+    * hottest allocation site: one append per (doc, distinct term)).
+    * `pos` (present only on positions-enabled builds) holds every doc's
+    * ascending positions concatenated in posting order: the walk order of
+    * (docs, freqs) recovers the per-doc runs, so no offsets are stored. */
+  private final class TermBuf(withPositions: Boolean) {
     var docs = new Array[Int](8)
     var freqs = new Array[Int](8)
     var norms = new Array[Byte](8)
     var n = 0
+    val pos: graft.analysis.IntBuf = if (withPositions) new graft.analysis.IntBuf(8) else null
     def add(doc: Int, freq: Int, norm: Byte): Unit = {
       if (n == docs.length) {
         val cap = n << 1
@@ -400,7 +418,8 @@ object IndexBuilder {
   }
 
   private def invertChunks(it: Iterator[(Long, String)], analyzer: Analyzer,
-                           segSize: Long, chunkDocs: Int): Iterator[Stage1Row] = {
+                           segSize: Long, chunkDocs: Int,
+                           storePositions: Boolean = false): Iterator[Stage1Row] = {
     new Iterator[Stage1Row] {
       private val in = it.buffered
       private var out: Iterator[Stage1Row] = Iterator.empty
@@ -433,15 +452,35 @@ object IndexBuilder {
           else {
             lastLocal = local
             in.next()
-            val (tf, len) = analyzer.termFreqCounts(content, intern)
-            val nb = (len & 0xFF).toByte
-            val tfIt = tf.entrySet().iterator()
-            while (tfIt.hasNext) {
-              val e = tfIt.next()
-              var b = terms.get(e.getKey)
-              if (b == null) { b = new TermBuf; terms.put(e.getKey, b) }
-              b.add(local, e.getValue, nb)
-            }
+            val len =
+              if (storePositions) {
+                // positions path: term -> ascending token positions (the
+                // prox stream, freqproxtermswriterperfield.go:96-122)
+                val (tp, l) = analyzer.termPositionCounts(content, intern)
+                val nb = (l & 0xFF).toByte
+                val tpIt = tp.entrySet().iterator()
+                while (tpIt.hasNext) {
+                  val e = tpIt.next()
+                  var b = terms.get(e.getKey)
+                  if (b == null) { b = new TermBuf(true); terms.put(e.getKey, b) }
+                  val pb = e.getValue
+                  b.add(local, pb.n, nb)
+                  var j = 0
+                  while (j < pb.n) { b.pos.add(pb.a(j)); j += 1 }
+                }
+                l
+              } else {
+                val (tf, l) = analyzer.termFreqCounts(content, intern)
+                val nb = (l & 0xFF).toByte
+                val tfIt = tf.entrySet().iterator()
+                while (tfIt.hasNext) {
+                  val e = tfIt.next()
+                  var b = terms.get(e.getKey)
+                  if (b == null) { b = new TermBuf(false); terms.put(e.getKey, b) }
+                  b.add(local, e.getValue, nb)
+                }
+                l
+              }
             docRows += Stage1Row(seg, null, salt, 0, 0L, null, local, len,
               sha256Hex(if (content == null) "" else content), firstDoc = local)
           }
@@ -454,7 +493,8 @@ object IndexBuilder {
           val docsA = java.util.Arrays.copyOf(b.docs, b.n)
           val freqsA = java.util.Arrays.copyOf(b.freqs, b.n)
           val normsA = java.util.Arrays.copyOf(b.norms, b.n)
-          postRows += Stage1Row(seg, t, salt, b.n, ttf, buildBlocks(docsA, freqsA, normsA),
+          val posA = if (b.pos == null) null else java.util.Arrays.copyOf(b.pos.a, b.pos.n)
+          postRows += Stage1Row(seg, t, salt, b.n, ttf, buildBlocks(docsA, freqsA, normsA, posA),
             -1, 0, null, firstDoc = docsA(0))
         }
         postRows.iterator ++ docRows.result().iterator
@@ -468,11 +508,18 @@ object IndexBuilder {
     }
   }
 
-  /** Pack sorted postings into fixed-size FOR blocks with impacts. */
-  def buildBlocks(docs: Array[Int], freqs: Array[Int], norms: Array[Byte]): Array[PostingBlock] = {
+  /** Pack sorted postings into fixed-size FOR blocks with impacts.
+    * `positions` (optional): every doc's ascending positions concatenated in
+    * posting order (freqs give the per-doc run lengths); each block's slice
+    * is stored as a varint delta stream (first position absolute, then gaps)
+    * — the prox encoding of `core/index/freqproxtermswriterperfield.go:96-122`.
+    */
+  def buildBlocks(docs: Array[Int], freqs: Array[Int], norms: Array[Byte],
+                  positions: Array[Int] = null): Array[PostingBlock] = {
     val B = PostingBlock.Size
     val out = Array.newBuilder[PostingBlock]
     var i = 0
+    var pcur = 0 // cursor into the flat positions stream
     while (i < docs.length) {
       val end = math.min(i + B, docs.length)
       val d = new Array[Long](end - i)
@@ -480,8 +527,28 @@ object IndexBuilder {
       val nb = new Array[Byte](end - i)
       var j = i
       while (j < end) { d(j - i) = docs(j).toLong; f(j - i) = freqs(j).toLong; nb(j - i) = norms(j); j += 1 }
+      val posBytes: Array[Byte] =
+        if (positions == null) null
+        else {
+          val bos = new java.io.ByteArrayOutputStream(4 * (end - i))
+          j = i
+          while (j < end) {
+            var prev = 0
+            var k = 0
+            while (k < freqs(j)) {
+              val p = positions(pcur)
+              graft.codec.Varint.writeUvarint(bos, (p - prev).toLong)
+              prev = p
+              pcur += 1
+              k += 1
+            }
+            j += 1
+          }
+          bos.toByteArray
+        }
       val (impF, impN) = Impacts.pareto(freqs, norms, i, end)
-      out += PostingBlock(docs(end - 1), end - i, ForBlock.encode(d), ForBlock.encode(f), nb, impF, impN)
+      out += PostingBlock(docs(end - 1), end - i, ForBlock.encode(d), ForBlock.encode(f), nb,
+        impF, impN, posBytes)
       i = end
     }
     out.result()

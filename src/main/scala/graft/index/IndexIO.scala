@@ -153,7 +153,8 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
     * orphan's files and could throw on its footers). `basePath` keeps `gen`
     * as a partition column for callers that group by it.
     */
-  private def committedGenDirs(spark: SparkSession, root: String, maxGen: Long): Seq[String] = {
+  private def committedGenDirs(spark: SparkSession, root: String, minGen: Long,
+                               maxGen: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) Nil
@@ -163,14 +164,14 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
         val n = st.getPath.getName
         if (n.startsWith("gen=")) n.drop(4).toLongOption.map(_ -> st.getPath) else None
       }
-      .collect { case (g, gp) if g <= maxGen => gp.toString }
+      .collect { case (g, gp) if g >= minGen && g <= maxGen => gp.toString }
       .sorted
   }
 
-  private def readGens(spark: SparkSession, root: String, maxGen: Long): DataFrame = {
-    val dirs = committedGenDirs(spark, root, maxGen)
+  private def readGens(spark: SparkSession, root: String, minGen: Long, maxGen: Long): DataFrame = {
+    val dirs = committedGenDirs(spark, root, minGen, maxGen)
     if (dirs.isEmpty) // no committed data dirs (shouldn't happen under a manifest)
-      throw new IllegalStateException(s"no committed gen<=$maxGen dirs under $root")
+      throw new IllegalStateException(s"no committed gen in [$minGen,$maxGen] under $root")
     spark.read.option("basePath", root).parquet(dirs: _*)
   }
 
@@ -188,12 +189,12 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
     * to tombstones.
     */
   def postings(spark: SparkSession): DataFrame =
-    readGens(spark, s"$indexDir/postings", manifest.generation)
+    readGens(spark, s"$indexDir/postings", manifest.minGen, manifest.generation)
 
   /** (segmentId, docId, norm, sha) — norms + the per-row sha256 invariant.
     * Same committed-generation visibility rule as [[postings]]. */
   def docmeta(spark: SparkSession): DataFrame =
-    readGens(spark, s"$indexDir/docmeta", manifest.generation)
+    readGens(spark, s"$indexDir/docmeta", manifest.minGen, manifest.generation)
 
   /** Committed tombstones (segmentId, localDoc); empty when the index has
     * no deletes. Only generations <= manifest.deleteGen are read, so an
@@ -201,7 +202,7 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
   def deleteRows(spark: SparkSession): org.apache.spark.sql.Dataset[DeleteRow] = {
     import spark.implicits._
     if (manifest.deletedCount == 0L) spark.emptyDataset[DeleteRow]
-    else readGens(spark, s"$indexDir/deletes", manifest.deleteGen)
+    else readGens(spark, s"$indexDir/deletes", 0L, manifest.deleteGen)
       .select($"segmentId", $"localDoc").as[DeleteRow]
   }
 }

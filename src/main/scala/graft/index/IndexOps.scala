@@ -55,13 +55,256 @@ object IndexOps {
   def deleteByTerm(spark: SparkSession, indexDir: String, term: String): BuiltIndex =
     deleteByQuery(spark, indexDir, TermQ(term))
 
+  /** forceMerge(1): rewrite ALL committed generations into ONE new
+    * generation, dropping tombstoned docs and correcting statistics — the
+    * MergePolicy/SegmentMerger lifecycle
+    * (`core/index/mergepolicy.go:303-335`, `core/index/segmentmerger.go`).
+    *
+    * DocID remap (SegmentMerger semantics): surviving docs keep their
+    * segment but compact to dense locals, newLocal = oldLocal − (# deleted
+    * locals ≤ oldLocal) — a closed form from the segment's sorted tombstone
+    * array, so the remap needs no lookup table and no extra shuffle. The
+    * remap is monotone: surviving docs keep their relative docId order.
+    * Like Lucene, docIDs are NOT stable across merges; the doc's identity
+    * is its stored fields (docmeta sha).
+    *
+    * Statistics are recomputed from the compacted postings (docFreq/ttf per
+    * term, per-segment doc counts) — after the merge, BM25 no longer sees
+    * ghost docs, exactly as in Lucene after tombstones are reclaimed. The
+    * compacted index therefore equals a fresh build over the live docs
+    * (oracle row q53).
+    *
+    * Commit: new postings/docmeta under gen=G+1, then a manifest with
+    * minGen = generation = G+1, deleteGen = 0, deletedCount = 0 — readers
+    * flip atomically to the compacted view (versioned manifest), after
+    * which the superseded generation dirs are deleted.
+    */
+  def forceMerge(spark: SparkSession, indexDir: String,
+                 outputPartitions: Option[Int] = None): BuiltIndex = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = IndexIO.readManifest(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
+    val idx = new BuiltIndex(indexDir, m)
+    val nGens = m.generation - m.minGen + 1
+    if (m.deletedCount == 0L && nGens == 1L) return idx // already compact
+    val gen = m.generation + 1
+    val segSize = m.segmentSize
+    val outParts = outputPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+
+    // Tombstones ride the SAME shuffle as the data, SORTED AHEAD of it
+    // within each segment ((segment, tag) composite key: tag 0 = tombstone,
+    // 1 = data row). The rewrite task streams: it accumulates a segment's
+    // tombstone array (small), then rewrites that segment's rows ONE AT A
+    // TIME — task memory is |segment tombstones| + one posting row, never a
+    // whole segment's postings (a cogroup would materialize the segment's
+    // full index in one task's CompactBuffer — the anti-pattern at 100 TB).
+    val delRdd = idx.deleteRows(spark).rdd.map(d => (d.segmentId, d.localDoc))
+    val hasPos = m.hasPositions
+
+    // ---- postings: drop deleted postings, remap locals, re-encode --------
+    val postKeyed: org.apache.spark.rdd.RDD[((Int, Int, String), AnyRef)] =
+      idx.postings(spark).as[TermPostings].rdd
+        .map(tp => ((tp.segmentId, 1, tp.term), tp: AnyRef))
+        .union(delRdd.map { case (seg, local) =>
+          ((seg, 0, ""), java.lang.Integer.valueOf(local): AnyRef)
+        })
+    val segPartitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = outParts
+      def getPartition(key: Any): Int =
+        math.abs(key.asInstanceOf[(Int, Int, String)]._1 % outParts)
+    }
+    val mergedPost = postKeyed
+      .repartitionAndSortWithinPartitions(segPartitioner)
+      .mapPartitions { it =>
+        var curSeg = Int.MinValue
+        var deleted: Array[Int] = Array.emptyIntArray
+        val delBuf = new graft.analysis.IntBuf(16)
+        it.flatMap { case ((seg, tag, _), payload) =>
+          if (seg != curSeg) { curSeg = seg; delBuf.n = 0; deleted = null }
+          if (tag == 0) {
+            delBuf.add(payload.asInstanceOf[java.lang.Integer].intValue)
+            Iterator.empty
+          } else {
+            if (deleted == null) {
+              deleted = java.util.Arrays.copyOf(delBuf.a, delBuf.n)
+              java.util.Arrays.sort(deleted)
+            }
+            Compaction.rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos).iterator
+          }
+        }
+      }
+    spark.createDataset(mergedPost)
+      .write.mode("overwrite").parquet(s"$indexDir/postings/gen=$gen")
+
+    // ---- docmeta: drop tombstoned rows, remap docIds (same streaming shape)
+    val dmKeyed: org.apache.spark.rdd.RDD[((Int, Int, String), AnyRef)] =
+      idx.docmeta(spark)
+        .select($"segmentId", $"docId", $"norm", $"sha").as[DocMeta]
+        .rdd.map(d => ((d.segmentId, 1, "%019d".format(d.docId)), d: AnyRef))
+        .union(delRdd.map { case (seg, local) =>
+          ((seg, 0, ""), java.lang.Integer.valueOf(local): AnyRef)
+        })
+    val mergedDm = dmKeyed
+      .repartitionAndSortWithinPartitions(segPartitioner)
+      .mapPartitions { it =>
+        var curSeg = Int.MinValue
+        var deleted: Array[Int] = Array.emptyIntArray
+        val delBuf = new graft.analysis.IntBuf(16)
+        it.flatMap { case ((seg, tag, _), payload) =>
+          if (seg != curSeg) { curSeg = seg; delBuf.n = 0; deleted = null }
+          if (tag == 0) {
+            delBuf.add(payload.asInstanceOf[java.lang.Integer].intValue)
+            Iterator.empty
+          } else {
+            if (deleted == null) {
+              deleted = java.util.Arrays.copyOf(delBuf.a, delBuf.n)
+              java.util.Arrays.sort(deleted)
+            }
+            val d = payload.asInstanceOf[DocMeta]
+            val local = (d.docId - d.segmentId.toLong * segSize).toInt
+            val shift = Compaction.deletedAtOrBelow(deleted, local)
+            if (shift >= 0) // negative = the doc itself is tombstoned
+              Iterator.single(DocMeta(d.segmentId,
+                d.segmentId.toLong * segSize + (local - shift), d.norm, d.sha))
+            else Iterator.empty
+          }
+        }
+      }
+    spark.createDataset(mergedDm).write.mode("overwrite").parquet(s"$indexDir/docmeta/gen=$gen")
+
+    // ---- recompute per-segment stats from the compacted data -------------
+    val newPostings = spark.read.parquet(s"$indexDir/postings/gen=$gen")
+    val newDocmeta = spark.read.parquet(s"$indexDir/docmeta/gen=$gen")
+    val postAgg = newPostings.groupBy("segmentId")
+      .agg(sum("docFreq").as("sdf"), sum("totalTermFreq").as("sttf"),
+        count(lit(1)).as("tc"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docAgg = newDocmeta.groupBy("segmentId")
+      .agg(count(lit(1)).as("dc"), sum(when(col("norm") > 0, 1L).otherwise(0L)).as("fdc"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val segs = m.segments.flatMap { s =>
+      docAgg.get(s.segmentId).map { case (dc, fdc) =>
+        val (sdf, sttf, tc) = postAgg.getOrElse(s.segmentId, (0L, 0L, 0L))
+        s.copy(docCount = dc, fieldDocCount = fdc, sumTotalTermFreq = sttf,
+          sumDocFreq = sdf, termCount = tc, postingCount = sdf,
+          lineageSha = IndexBuilder.sha256Hex(s"${s.segmentId}:${s.docBase}:$dc:$sttf:merged$gen"))
+      } // segments whose docs were ALL deleted drop out of the manifest
+    }
+    val stats = IndexStats(
+      docCount = segs.map(_.docCount).sum,
+      fieldDocCount = segs.map(_.fieldDocCount).sum,
+      sumTotalTermFreq = segs.map(_.sumTotalTermFreq).sum,
+      sumDocFreq = segs.map(_.sumDocFreq).sum)
+    val m2 = m.copy(
+      generation = gen, minGen = gen,
+      numSegments = segs.size, stats = stats, segments = segs,
+      corpusSha = IndexBuilder.sha256Hex(s"${m.corpusSha}#merged:$gen"),
+      postingsBytes = IndexIO.dirBytes(spark, s"$indexDir/postings/gen=$gen"),
+      docmetaBytes = IndexIO.dirBytes(spark, s"$indexDir/docmeta/gen=$gen"),
+      deleteGen = 0L, deletedCount = 0L)
+    IndexIO.writeManifest(spark, indexDir, m2)
+    // superseded generations + tombstones are garbage once the compacted
+    // manifest is durable (versioned commit: a crash before this point
+    // leaves the OLD view fully intact)
+    (m.minGen to m.generation).foreach { g =>
+      IndexIO.delete(spark, s"$indexDir/postings/gen=$g")
+      IndexIO.delete(spark, s"$indexDir/docmeta/gen=$g")
+    }
+    IndexIO.delete(spark, s"$indexDir/deletes")
+    new BuiltIndex(indexDir, m2)
+  }
+
   /** UpdateDocument: tombstone every doc matching `term`, then append the
     * replacement docs as new segments. The replacements' ids must be >=
-    * the index's nextDocBase (fresh docIDs, the Lucene update contract). */
+    * the index's nextDocBase (fresh docIDs, the Lucene update contract).
+    */
   def updateDocuments(spark: SparkSession, indexDir: String, term: String,
                       newDocs: DataFrame, docIdCol: String, contentCol: String,
                       cfg: BuildConfig = BuildConfig()): BuiltIndex = {
     deleteByTerm(spark, indexDir, term)
     IndexBuilder.append(spark, newDocs, docIdCol, contentCol, indexDir, cfg)
+  }
+}
+
+/** Posting-list rewrite kernels for [[IndexOps.forceMerge]] — the
+  * SegmentMerger's per-term work (`core/index/segmentmerger.go`): drop
+  * tombstoned postings, remap surviving locals to dense, re-encode blocks
+  * (positions stream carried through when present).
+  */
+private[index] object Compaction {
+
+  /** Count of deleted locals <= `local`, or -1 when `local` itself is
+    * tombstoned. `deleted` sorted ascending. */
+  def deletedAtOrBelow(deleted: Array[Int], local: Int): Int = {
+    val i = java.util.Arrays.binarySearch(deleted, local)
+    if (i >= 0) -1 else -(i + 1)
+  }
+
+  /** Decode a block's prox stream into (flat positions, per-posting starts). */
+  private def decodePositions(b: PostingBlock, freqs: Array[Long]): (Array[Int], Array[Int]) = {
+    require(b.posBytes != null, "forceMerge on a positions index requires posBytes in every block")
+    var total = 0
+    var j = 0
+    while (j < freqs.length) { total += freqs(j).toInt; j += 1 }
+    val flat = new Array[Int](total)
+    val starts = new Array[Int](freqs.length + 1)
+    var p = 0
+    var w = 0
+    j = 0
+    while (j < freqs.length) {
+      starts(j) = w
+      var prev = 0
+      var k = 0
+      while (k < freqs(j).toInt) {
+        val (d, p2) = graft.codec.Varint.readUvarint(b.posBytes, p)
+        prev += d.toInt; flat(w) = prev; w += 1; p = p2; k += 1
+      }
+      j += 1
+    }
+    starts(freqs.length) = w
+    (flat, starts)
+  }
+
+  /** Rewrite one term's posting list against the segment's sorted tombstone
+    * array; None when every posting was tombstoned. */
+  def rewriteTerm(tp: TermPostings, deleted: Array[Int], hasPos: Boolean): Option[TermPostings] = {
+    if (deleted.isEmpty) return Some(tp) // untouched segment: bytes move as-is
+    val docsB = new graft.analysis.IntBuf(64)
+    val freqsB = new graft.analysis.IntBuf(64)
+    val normsB = new java.io.ByteArrayOutputStream(64)
+    val posB = if (hasPos) new graft.analysis.IntBuf(64) else null
+    var ttf = 0L
+    tp.blocks.foreach { blk =>
+      val docs = graft.codec.ForBlock.decode(blk.docBytes)
+      val freqs = graft.codec.ForBlock.decode(blk.freqBytes)
+      val pos = if (hasPos) decodePositions(blk, freqs) else null
+      var i = 0
+      while (i < docs.length) {
+        val local = docs(i).toInt
+        val shift = deletedAtOrBelow(deleted, local)
+        if (shift >= 0) {
+          docsB.add(local - shift)
+          freqsB.add(freqs(i).toInt)
+          normsB.write(blk.norms(i).toInt)
+          ttf += freqs(i)
+          if (hasPos) {
+            val (flat, starts) = pos
+            var k = starts(i)
+            while (k < starts(i + 1)) { posB.add(flat(k)); k += 1 }
+          }
+        }
+        i += 1
+      }
+    }
+    if (docsB.n == 0) None
+    else {
+      val docsA = java.util.Arrays.copyOf(docsB.a, docsB.n)
+      val freqsA = java.util.Arrays.copyOf(freqsB.a, freqsB.n)
+      val normsA = normsB.toByteArray
+      val posA = if (posB == null) null else java.util.Arrays.copyOf(posB.a, posB.n)
+      Some(TermPostings(tp.segmentId, tp.term, docsB.n, ttf,
+        IndexBuilder.buildBlocks(docsA, freqsA, normsA, posA)))
+    }
   }
 }

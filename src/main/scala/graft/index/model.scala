@@ -28,6 +28,14 @@ object PostingBlock {
   * @param norms    one byte per posting: `fieldLength & 0xFF` of that doc
   * @param impactFreqs/impactNorms pareto-max competitive (freq, norm) pairs
   *                 for block-max WAND (`core/index/competitiveimpactaccumulator.go:40-84`)
+  * @param posBytes OPTIONAL positions stream (null when the index was built
+  *                 without positions): for each posting i in block order,
+  *                 freq_i token positions as varint deltas (first absolute,
+  *                 then gaps) — the reference's prox stream
+  *                 (`core/index/freqproxtermswriterperfield.go:96-122`,
+  *                 IndexOptions DOCS_AND_FREQS_AND_POSITIONS,
+  *                 `core/document/indexoptions.go:3-29`). Decoding walks the
+  *                 freqs, so the stream needs no per-posting offsets.
   */
 final case class PostingBlock(
     maxDoc: Int,
@@ -36,7 +44,8 @@ final case class PostingBlock(
     freqBytes: Array[Byte],
     norms: Array[Byte],
     impactFreqs: Array[Int],
-    impactNorms: Array[Int]
+    impactNorms: Array[Int],
+    posBytes: Array[Byte] = null
 )
 
 /** The posting list of one term within one segment.
@@ -89,6 +98,12 @@ final case class IndexStats(
   */
 final case class Manifest(
     generation: Long,
+    // lowest VISIBLE data generation: readers open gen dirs in
+    // [minGen, generation]. Normal builds/appends keep minGen at the first
+    // committed generation; forceMerge rewrites all generations into one
+    // new dir and raises minGen to it, making the superseded dirs invisible
+    // the instant the compacted manifest commits (they are deleted after).
+    minGen: Long = 1L,
     numSegments: Int,
     segmentSize: Long, // contiguous docId range per segment; docBase = segmentId * segmentSize
     stats: IndexStats,
@@ -109,7 +124,12 @@ final case class Manifest(
     // (-1 = none): foreachBatch replays after a failure re-deliver the same
     // batchId, and the streaming indexer skips batches <= this watermark —
     // the manifest write IS the exactly-once commit point.
-    lastStreamBatch: Long = -1L
+    lastStreamBatch: Long = -1L,
+    // whether posting blocks carry the positions stream (IndexOptions
+    // DOCS_AND_FREQS_AND_POSITIONS, `core/document/indexoptions.go:3-29`).
+    // Appends must match the committed value — a mixed index would make
+    // phrase queries fail on some generations only.
+    hasPositions: Boolean = false
 )
 
 /** One tombstone: a deleted doc addressed segment-locally (the live-docs

@@ -17,6 +17,7 @@ import graft.search._
   */
 final class MemoryIndex(analyzer: Analyzer = Analyzer.standard) {
   private var tf: collection.Map[String, Int] = Map.empty
+  private var toks: Vector[String] = Vector.empty // emitted-token order (positions)
   private var len: Int = 0
   private var added = false
 
@@ -25,6 +26,7 @@ final class MemoryIndex(analyzer: Analyzer = Analyzer.standard) {
     require(!added, "MemoryIndex holds exactly one document")
     val (m, l) = analyzer.termFreqs(content)
     tf = m; len = l; added = true
+    toks = analyzer.tokenize(content).map(_.term)
     this
   }
 
@@ -80,6 +82,16 @@ final class MemoryIndex(analyzer: Analyzer = Analyzer.standard) {
     case DisjMaxQ(qs, tb) =>
       val ss = qs.flatMap(eval(_, idf, cache, boost, scoring))
       if (ss.isEmpty) None else Some(ss.max + tb * (ss.sum - ss.max))
+    case PhraseQ(ts) =>
+      // exact phrase over the (single) doc's emitted-token sequence; scoring
+      // per Lucene PhraseQuery: weight = boost * sum idf, freq = occurrences
+      val occ = toks.indices.count(i =>
+        i + ts.size <= toks.size && ts.indices.forall(j => toks(i + j) == ts(j)))
+      if (occ == 0) None
+      else {
+        val w = boost * ts.map(t => idf.getOrElse(t, 0.0)).sum
+        Some(if (scoring) Bm25.score(w, occ, len & 0xFF, cache) else 0.0)
+      }
     case _: PrefixQ | _: RegexpQ | _: TermRangeQ =>
       throw new IllegalStateException("expand() must run first")
     case BoolQ(must, should, filter, mustNot, msm0) =>

@@ -35,21 +35,41 @@ object TextHash {
 /** Shared LSH-bucket machinery: ordered candidate pairs out of one bucket,
   * bounded by `maxBucket` (degenerate hot buckets would otherwise go
   * quadratic). One implementation keeps the cap/sort/pairing semantics in
-  * lockstep across MinHash, SimHash, and embedding LSH. */
+  * lockstep across MinHash, SimHash, and embedding LSH.
+  *
+  * NO SILENT CAPS: a truncated bucket reports its dropped-id count through
+  * `onDropped` — the operators feed a Spark accumulator and WARN after the
+  * run, so a cap that actually fired is visible (a silently dropped hot
+  * bucket would read as "no near-duplicates in boilerplate docs", the exact
+  * docs most likely to BE near-duplicates). */
 private[pipeline] object LshBuckets {
+  val noDropObserver: Int => Unit = _ => ()
+
   /** (a, b) with a < b over the sorted, capped id set. */
-  def boundedPairs(ids0: Array[Long], maxBucket: Int): Iterator[(Long, Long)] = {
+  def boundedPairs(ids0: Array[Long], maxBucket: Int,
+                   onDropped: Int => Unit = noDropObserver): Iterator[(Long, Long)] = {
     java.util.Arrays.sort(ids0)
     val n = math.min(ids0.length, maxBucket)
+    if (ids0.length > n) onDropped(ids0.length - n)
     for { i <- (0 until n).iterator; j <- (i + 1) until n } yield (ids0(i), ids0(j))
   }
 
   /** As [[boundedPairs]] but rows carry a payload (sorted by id). */
-  def boundedPairsWith[P](rows0: Array[(Long, P)], maxBucket: Int): Iterator[((Long, P), (Long, P))] = {
+  def boundedPairsWith[P](rows0: Array[(Long, P)], maxBucket: Int,
+                          onDropped: Int => Unit = noDropObserver): Iterator[((Long, P), (Long, P))] = {
     val rows = rows0.sortBy(_._1)
     val n = math.min(rows.length, maxBucket)
+    if (rows.length > n) onDropped(rows.length - n)
     for { i <- (0 until n).iterator; j <- (i + 1) until n } yield (rows(i), rows(j))
   }
+
+  /** Post-run cap audit: WARN when any bucket truncated (accumulator sum of
+    * dropped ids), so capped coverage is never mistaken for full coverage. */
+  def warnIfDropped(op: String, acc: org.apache.spark.util.LongAccumulator): Unit =
+    if (acc.value > 0L)
+      System.err.println(s"[graft-pipeline] WARNING: $op truncated hot LSH buckets — " +
+        s"${acc.value} bucket-member ids dropped (maxBucket cap); pairs within the " +
+        "dropped tail were NOT examined. Raise maxBucket or pre-dedup exact duplicates.")
 }
 
 /** Exact deduplication: hash-groupBy on sha256(content) — one shuffle of
@@ -165,12 +185,13 @@ object MinHashLsh {
       .toDF("band", "bucket", "doc_id")
 
     locally {
-      // candidate pairs from shared buckets (bounded per bucket)
+      // candidate pairs from shared buckets (bounded per bucket; drops audited)
       val maxBucket = p.maxBucket
+      val dropped = spark.sparkContext.longAccumulator("minhash-lsh-dropped-ids")
       val candidates = bucketRows.as[(Int, Long, Long)]
         .groupByKey(r => (r._1, r._2))
         .flatMapGroups { (_, it) =>
-          LshBuckets.boundedPairs(it.map(_._3).toArray, maxBucket)
+          LshBuckets.boundedPairs(it.map(_._3).toArray, maxBucket, d => dropped.add(d.toLong))
         }
         .distinct()
         .toDF("doc_a", "doc_b")
@@ -208,6 +229,7 @@ object MinHashLsh {
       // round-trip; the returned frame is itself cached
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
+      LshBuckets.warnIfDropped("MinHashLsh.nearDuplicates", dropped)
       candShingles.unpersist(blocking = false)
       out
     }
@@ -264,10 +286,12 @@ object SimHash {
       val chunked = sigs.as[(Long, Long)].flatMap { case (id, v) =>
         (0 until 4).iterator.map(c => (c, (v >>> (16 * c)) & 0xFFFFL, id, v))
       }.toDF("chunk", "key", "doc_id", "sim")
+      val dropped = spark.sparkContext.longAccumulator("simhash-dropped-ids")
       val pairs = chunked.as[(Int, Long, Long, Long)]
         .groupByKey(r => (r._1, r._2))
         .flatMapGroups { (_, it) =>
-          LshBuckets.boundedPairsWith(it.map(r => (r._3, r._4)).toArray, maxBucket)
+          LshBuckets.boundedPairsWith(it.map(r => (r._3, r._4)).toArray, maxBucket,
+              d => dropped.add(d.toLong))
             .flatMap { case ((ida, va), (idb, vb)) =>
               val hd = java.lang.Long.bitCount(va ^ vb)
               if (hd <= maxHamming) Iterator.single((ida, idb, hd)) else Iterator.empty
@@ -278,6 +302,7 @@ object SimHash {
         .orderBy("doc_a", "doc_b")
       val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
+      LshBuckets.warnIfDropped("SimHash.nearDuplicates", dropped)
       out
     } finally sigs.unpersist(blocking = false)
   }

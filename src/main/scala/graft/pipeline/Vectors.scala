@@ -253,10 +253,11 @@ object EmbeddingNearDup {
           (0 until tables).iterator.map(t => (t, sketch(v, t, h, localTab, localDim), id))
         }
       }.toDF("t", "key", "vec_id")
+      val dropped = spark.sparkContext.longAccumulator("embed-lsh-dropped-ids")
       val cand = buckets.as[(Int, Long, Long)]
         .groupByKey(r => (r._1, r._2))
         .flatMapGroups { (_, it) =>
-          LshBuckets.boundedPairs(it.map(_._3).toArray, maxBucket)
+          LshBuckets.boundedPairs(it.map(_._3).toArray, maxBucket, d => dropped.add(d.toLong))
         }
         .distinct()
         .toDF("vec_a", "vec_b")
@@ -272,6 +273,7 @@ object EmbeddingNearDup {
         .orderBy("vec_a", "vec_b")
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
+      LshBuckets.warnIfDropped("EmbeddingNearDup.pairs", dropped)
       out
     } finally vecs.unpersist(blocking = false)
   }

@@ -71,6 +71,16 @@ object ScorerBuilder {
       if (subs.isEmpty) None
       else if (subs.length == 1) Some(subs(0))
       else Some(new DisjunctionMaxScorer(subs, tb))
+    case PhraseQ(ts) =>
+      // every phrase term must have postings in this segment (conjunction);
+      // weight = boost * sum of the terms' idfs (Lucene PhraseQuery+BM25)
+      val readers = ts.map(postings.get)
+      if (readers.exists(_.isEmpty)) None
+      else {
+        val subs = readers.map(r => new PostingsScorer(r.get, 0.0, ctx.cache, scoring = true)).toArray
+        val w = boost * ts.map(t => ctx.idf.getOrElse(t, 0.0)).sum
+        Some(new PhraseScorer(subs, w, ctx.cache, scoring))
+      }
     case _: PrefixQ | _: RegexpQ | _: TermRangeQ =>
       throw new IllegalStateException("multi-term queries must be rewritten to MultiTermQ before scoring")
     case b: BoolQ => buildBool(b, postings, segDocCount, ctx, boost, scoring, minCompetitive)
@@ -247,7 +257,20 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     */
   def rewrite(spark: SparkSession, q0: Query): Query = {
     val q1 = Query.normalize(q0)
-    Query.normalize(toMultiTerm(q1))
+    val q = Query.normalize(toMultiTerm(q1))
+    if (!index.manifest.hasPositions && hasPhrase(q))
+      throw new IllegalStateException(
+        "phrase query over an index without a positions stream — rebuild with BuildConfig.storePositions=true")
+    q
+  }
+
+  private def hasPhrase(q: Query): Boolean = q match {
+    case PhraseQ(ts) => ts.size >= 2
+    case BoolQ(m, s, f, n, _) => (m ++ s ++ f ++ n).exists(hasPhrase)
+    case BoostQ(s, _) => hasPhrase(s)
+    case ConstQ(s, _) => hasPhrase(s)
+    case DisjMaxQ(qs, _) => qs.exists(hasPhrase)
+    case _ => false
   }
 
   private def toMultiTerm(q: Query): Query = q match {
@@ -495,6 +518,35 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     val ctx = queryContext(spark, q)
     runLeaves(spark, q)((seg, post, del) =>
       SegmentKernel.scoreAll(q, readers(post, ctx), seg, ctx, del, scoring = false))
+  }
+
+  /** SORTED_SET doc-values faceting (`core/document/docvaluestype.go:3-30`
+    * SORTED_SET; Lucene's SSDV facet counts): top-k terms by the number of
+    * MATCHING docs containing them. The term dictionary IS the ordinal
+    * space; the postings parquet IS the docId->ords mapping read in bulk —
+    * so the facet sweep is a full postings decode joined against the
+    * query's matching-doc set, then a count per term (Lucene's per-segment
+    * SSDV scan, as a shuffle-safe join instead of per-task whole-segment
+    * state). Matching docs of a selective query broadcast; a hot query
+    * degrades to a shuffle join — either way no task ever holds a whole
+    * segment's postings.
+    */
+  def facetTopTerms(spark: SparkSession, q0: Query, k: Int): DataFrame = {
+    import spark.implicits._
+    val segSize = index.segmentSize
+    val matches = matchingDocs(spark, q0).toDF("doc_id", "z").select("doc_id")
+    val pairs = index.postings(spark).as[TermPostings]
+      .flatMap { tp =>
+        val base = tp.segmentId.toLong * segSize
+        tp.blocks.iterator.flatMap(b =>
+          graft.codec.ForBlock.decode(b.docBytes).iterator.map(l => (tp.term, base + l)))
+      }
+      .toDF("term", "doc_id")
+    pairs.join(matches, "doc_id")
+      .groupBy("term")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
   }
 
   /** Hit count with the reference's O(1) shortcuts

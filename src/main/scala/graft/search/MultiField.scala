@@ -68,6 +68,10 @@ final class MultiFieldSearcher(val index: MultiFieldIndex) extends Serializable 
     * 6dp (desc), docId asc — rounding-first makes the rank stable across
     * summation orders (each addend is computed with the field's exact BM25
     * op order; only the cross-field sum is Catalyst's).
+    *
+    * This is the EXHAUSTIVE reference path (every matching doc of every
+    * clause is scored). For term clauses at scale use [[searchBlendedWand]]
+    * — same ranks, block-max pruned.
     */
   def searchBlended(spark: SparkSession, clauses: Seq[(String, Query, Double)],
                     k: Int): DataFrame = {
@@ -77,6 +81,85 @@ final class MultiFieldSearcher(val index: MultiFieldIndex) extends Serializable 
     }
     scored.reduce(_ unionAll _)
       .groupBy("doc_id").agg(round(sum("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Cross-field WAND: the pruned sibling of [[searchBlended]] for term
+    * clauses. Per segment, every (field, term) clause becomes one
+    * [[PostingsScorer]] over ITS field's postings with ITS field's
+    * statistics (weight = clauseWeight * field idf, norm cache from the
+    * field's avgdl — the reference's per-field Term/CollectionStatistics,
+    * `core/search/termquery.go:61`), and one [[WandScorer]] over the shared
+    * docId space prunes with collector feedback — a hot term skips
+    * non-competitive blocks instead of scoring its whole posting list
+    * (round-2's exhaustive path scored + shuffled every match).
+    *
+    * All subindexes share segment geometry (asserted at build), so the
+    * clauses' posting rows cogroup by segmentId: the shuffle moves only
+    * |clauses| x |segments| posting rows. Scores are the same blended sum
+    * rounded to 6dp; ranks are identical to [[searchBlended]] (tested).
+    * Falls back to the exhaustive path when a subindex carries tombstones
+    * (live-docs would need the per-field delete cogroup) or a clause is not
+    * a plain term.
+    */
+  def searchBlendedWand(spark: SparkSession, clauses: Seq[(String, String, Double)],
+                        k: Int): DataFrame = {
+    import spark.implicits._
+    if (index.perField.values.exists(_.manifest.deletedCount > 0L))
+      return searchBlended(spark, clauses.map { case (f, t, w) => (f, TermQ(t), w) }, k)
+    // per-field stats resolved once on the driver (tiny pushdown jobs)
+    val byField = clauses.groupBy(_._1)
+    val fieldCtx: Map[String, QueryContext] = byField.map { case (f, cs) =>
+      val s = searcher(f)
+      f -> s.queryContext(spark, BoolQ(should = cs.map(c => TermQ(c._2))))
+    }
+    val segs = index.perField.head._2.manifest.segments.map(s => s.segmentId -> s).toMap
+    val nParts = segs.keys.max + 1
+    // one tagged posting-row RDD per field, filtered to that field's terms
+    val rows = byField.toSeq.map { case (f, cs) =>
+      val terms = cs.map(_._2).toSet
+      index(f).postings(spark)
+        .where(col("term").isin(terms.toSeq: _*))
+        .as[graft.index.TermPostings]
+        .rdd.map(tp => (tp.segmentId, (f, tp)))
+    }.reduce(_ union _)
+    val partitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = nParts
+      def getPartition(key: Any): Int = key.asInstanceOf[Int] % nParts
+    }
+    val clausesB = clauses // stable order: the kernel sums in clause order
+    val perLeaf = rows.partitionBy(partitioner).mapPartitions { it =>
+      var segId = -1
+      val post = scala.collection.mutable.HashMap.empty[(String, String), graft.index.TermPostings]
+      it.foreach { case (sid, (f, tp)) => segId = sid; post((f, tp.term)) = tp }
+      if (segId < 0) Iterator.empty
+      else {
+        val seg = segs(segId)
+        val collector = new TopKCollector(k, seg.docBase, None)
+        val scorers: Array[Scorer] = clausesB.flatMap { case (f, t, w) =>
+          val ctx = fieldCtx(f)
+          post.get((f, t)).map { tp =>
+            // weight applied OUTSIDE the BM25 op order (score * w), exactly
+            // as the exhaustive path's `col("s") * w` — bit-identical addends
+            val base = new PostingsScorer(new TermReader(tp, ctx.cache),
+              ctx.idf.getOrElse(t, 0.0), ctx.cache, scoring = true)
+            if (w == 1.0) base: Scorer else new ScaledScorer(base, w): Scorer
+          }
+        }.toArray
+        if (scorers.isEmpty) Iterator.empty
+        else {
+          val s: Scorer =
+            if (scorers.length == 1) scorers(0)
+            else new WandScorer(scorers, () => collector.minCompetitive)
+          var d = s.nextDoc()
+          while (d != DISI.NO_MORE) { collector.collect(d, s.score()); d = s.nextDoc() }
+          collector.results.iterator.map { case (gid, sc) => ScoredDoc(gid, sc) }
+        }
+      }
+    }
+    spark.createDataset(perLeaf).toDF("doc_id", "s")
+      .select(col("doc_id"), round(col("s"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

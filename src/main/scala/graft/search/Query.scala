@@ -21,6 +21,7 @@ sealed trait Query {
     case ConstQ(q, _)        => q.terms
     case TermInSetQ(ts)      => ts
     case DisjMaxQ(qs, _)     => qs.flatMap(_.terms).toSet
+    case PhraseQ(ts)         => ts.toSet
     case _                   => Set.empty
   }
 
@@ -65,6 +66,15 @@ final case class RegexpQ(pattern: String) extends Query
   * constant score. `None` bound = open. */
 final case class TermRangeQ(lo: Option[String], hi: Option[String],
                             includeLo: Boolean = true, includeHi: Boolean = true) extends Query
+/** Exact phrase (slop 0): `terms(i)` must occur at consecutive positions.
+  * Requires a positions-enabled index (BuildConfig.storePositions; the
+  * reference stores the prox stream per IndexOptions
+  * DOCS_AND_FREQS_AND_POSITIONS, `core/document/indexoptions.go:3-29`,
+  * `core/index/freqproxtermswriterperfield.go:96-122`). Lucene PhraseQuery
+  * scoring: weight = boost * SUM of the terms' idfs, freq = number of
+  * phrase occurrences in the doc. Evaluated two-phase: the docs-level
+  * conjunction approximates, the positions check confirms. */
+final case class PhraseQ(phraseTerms: Seq[String]) extends Query
 
 /** A term-dictionary predicate that travels WITH the query to the executors
   * instead of being expanded on the driver. Each variant has two faces:
@@ -192,6 +202,8 @@ object Query {
       else if (subs.size == 1) subs.head
       else DisjMaxQ(subs, tb)
     case TermInSetQ(ts) if ts.isEmpty => MatchNoneQ
+    case PhraseQ(ts) if ts.isEmpty => MatchNoneQ
+    case PhraseQ(ts) if ts.size == 1 => TermQ(ts.head) // Lucene 1-term phrase == TermQuery
     case b: BoolQ => rewriteBool(b)
     case other => other
   }

@@ -82,6 +82,48 @@ final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
     while (j < blocks.length) { val g = blockG(j); if (g > m) m = g; j += 1 }
     m
   }
+
+  // decoded positions per block: (flat ascending positions, start offset of
+  // each posting's run; starts has count+1 entries). Memoized like docs/freqs
+  // — a batch of phrase queries decodes each prox block once.
+  private val memoPos = new Array[(Array[Int], Array[Int])](blocks.length)
+
+  /** Positions of block `bi` (requires a positions-enabled index). */
+  def positionsOf(bi: Int): (Array[Int], Array[Int]) = {
+    var m = memoPos(bi)
+    if (m == null) {
+      val blk = blocks(bi)
+      if (blk.posBytes == null)
+        throw new IllegalStateException(
+          s"term '${tp.term}': index has no positions stream — build with BuildConfig.storePositions=true to run phrase queries")
+      val freqs = freqsOf(bi)
+      var total = 0
+      var j = 0
+      while (j < freqs.length) { total += freqs(j).toInt; j += 1 }
+      val flat = new Array[Int](total)
+      val starts = new Array[Int](freqs.length + 1)
+      var p = 0
+      var w = 0
+      j = 0
+      while (j < freqs.length) {
+        starts(j) = w
+        var prev = 0
+        var k = 0
+        val f = freqs(j).toInt
+        while (k < f) {
+          val (delta, p2) = graft.codec.Varint.readUvarint(blk.posBytes, p)
+          prev += delta.toInt
+          flat(w) = prev
+          w += 1; p = p2; k += 1
+        }
+        j += 1
+      }
+      starts(freqs.length) = w
+      m = (flat, starts)
+      memoPos(bi) = m
+    }
+    m
+  }
 }
 
 object TermReader {
@@ -107,7 +149,7 @@ object TermReader {
   * Scoring per `core/search/termscorer.go:51-62` + `similaritybm25.go:235-246`.
   */
 final class PostingsScorer(
-    reader: TermReader,
+    val reader: TermReader,
     weight: Double,
     cache: Array[Double],
     scoring: Boolean) extends Scorer {
@@ -195,8 +237,120 @@ final class PostingsScorer(
   def freq: Int = freqs(i).toInt
   def normByte: Int = norms(i) & 0xFF
 
+  /** Positions of the CURRENT posting as (flat array, start, end) — zero
+    * per-call allocation; the block's prox stream is decoded once and
+    * memoized in the shared reader. */
+  def currentPositions: (Array[Int], Int, Int) = {
+    val (flat, starts) = reader.positionsOf(bi)
+    (flat, starts(i), starts(i + 1))
+  }
+
   def score(): Double =
     if (scoring) Bm25.score(weight, freqs(i).toInt, norms(i) & 0xFF, cache) else 0.0
+}
+
+/** Exact-phrase scorer (slop 0) — the PhraseQuery/ExactPhraseMatcher shape
+  * Lucene pairs with the prox stream the reference stores
+  * (`core/index/freqproxtermswriterperfield.go:96-122`; the two-phase
+  * iterator contract of SURVEY §2.4): the APPROXIMATION is the docs-level
+  * leapfrog conjunction of the terms' postings (cheapest-first), and the
+  * CONFIRMATION decodes positions only for docs where all terms co-occur,
+  * counting occurrences where term i sits at position p+i.
+  *
+  * Scoring (Lucene PhraseQuery + BM25Similarity): weight = boost * sum of
+  * term idfs; freq = phrase occurrence count; norm = the doc's field length
+  * (identical across the terms' postings of one doc).
+  */
+final class PhraseScorer(terms: Array[PostingsScorer], weight: Double,
+                         cache: Array[Double], scoring: Boolean) extends Scorer {
+  require(terms.length >= 2, "phrase needs >= 2 terms (1-term phrases normalize to TermQ)")
+  private val byCost = terms.clone().sortBy(_.cost) // lead = rarest term
+  private var cur = -1
+  private var curFreq = 0
+
+  def docId: Int = cur
+  def cost: Long = byCost(0).cost
+  // phraseFreq <= min term freq and g is monotone in freq, so every term's
+  // maxG bounds g(phraseFreq, norm); the min over terms is the tightest
+  lazy val maxScore: Double =
+    if (!scoring) 0.0
+    else TermReader.bound(weight, terms.iterator.map(_.reader.maxG).min)
+
+  /** Count positions where terms(0)@p, terms(1)@p+1, ... (all ascending
+    * arrays; k-way gallop with primitive cursors, no allocation). */
+  private def phraseFreqAt(): Int = {
+    val n = terms.length
+    val flats = new Array[Array[Int]](n)
+    val los = new Array[Int](n)
+    val his = new Array[Int](n)
+    var t = 0
+    while (t < n) {
+      val (f, lo, hi) = terms(t).currentPositions
+      flats(t) = f; los(t) = lo; his(t) = hi
+      t += 1
+    }
+    var count = 0
+    var i0 = los(0)
+    var exhausted = false
+    while (i0 < his(0) && !exhausted) {
+      val p = flats(0)(i0)
+      var ok = true
+      var u = 1
+      while (ok && u < n) {
+        // advance term u's cursor to the first position >= p + u
+        var c = los(u)
+        val want = p + u
+        while (c < his(u) && flats(u)(c) < want) c += 1
+        los(u) = c
+        if (c >= his(u)) { ok = false; exhausted = true }
+        else if (flats(u)(c) != want) ok = false
+        u += 1
+      }
+      if (ok) count += 1
+      i0 += 1
+    }
+    count
+  }
+
+  private def doNext(target0: Int): Int = {
+    var target = target0
+    while (target != DISI.NO_MORE) {
+      // leapfrog all terms to agreement on `target` (docs-level approximation)
+      var advanced = true
+      while (advanced && target != DISI.NO_MORE) {
+        advanced = false
+        var j = 0
+        while (j < byCost.length && !advanced) {
+          val s = byCost(j)
+          if (s.docId < target) {
+            val d = s.advance(target)
+            if (d > target) { target = d; advanced = true }
+          } else if (s.docId > target) { target = s.docId; advanced = true }
+          j += 1
+        }
+      }
+      if (target == DISI.NO_MORE) { cur = target; return cur }
+      // confirmation: positions intersect
+      val f = phraseFreqAt()
+      if (f > 0) { cur = target; curFreq = f; return cur }
+      target = byCost(0).advance(target + 1)
+    }
+    cur = target
+    cur
+  }
+
+  def nextDoc(): Int = {
+    if (cur == DISI.NO_MORE) return cur
+    doNext(byCost(0).nextDoc())
+  }
+
+  def advance(target: Int): Int = {
+    if (cur == DISI.NO_MORE || cur >= target) return cur
+    doNext(byCost(0).advance(target))
+  }
+
+  def score(): Double =
+    if (scoring) Bm25.score(weight, curFreq, terms(0).normByte, cache) else 0.0
 }
 
 /** MatchAllDocs over a segment's dense local docId range
@@ -215,6 +369,18 @@ final class RangeAllScorer(docCount: Int, boost: Double) extends Scorer {
   def score(): Double = boost
   def cost: Long = docCount.toLong
   def maxScore: Double = boost
+}
+
+/** Multiply an inner scorer's score by a positive constant (cross-field
+  * clause weights). fp multiplication by a positive constant is monotone,
+  * so `inner.maxScore * w` stays a certified upper bound. */
+final class ScaledScorer(inner: Scorer, w: Double) extends Scorer {
+  def docId: Int = inner.docId
+  def nextDoc(): Int = inner.nextDoc()
+  def advance(target: Int): Int = inner.advance(target)
+  def score(): Double = inner.score() * w
+  def cost: Long = inner.cost
+  lazy val maxScore: Double = inner.maxScore * w
 }
 
 /** Wrap any iterator with a constant score (`core/search/constantscorescorer.go`). */

@@ -82,6 +82,8 @@ object Oracle {
         lo.forall(v => if (il) t >= v else t > v) && hi.forall(v => if (ih) t <= v else t < v)
       }
       if (in) Some(if (scoring) boost else 0.0) else None
+    case _: PhraseQ | _: MultiTermQ =>
+      throw new UnsupportedOperationException("this tf-only oracle has no positions; PhraseSpec has its own")
     case BoolQ(must, should, filter, mustNot, msm0) =>
       val mustS = must.map(eval(_, tf, normByte, ctx, boost, scoring))
       if (mustS.exists(_.isEmpty)) return None

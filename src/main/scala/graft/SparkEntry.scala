@@ -37,14 +37,16 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f3-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f4-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         // small chunkDocs so even the sf-scale tables split into several
         // segments (segSize rounds up to a chunk multiple) — the verify
         // path must exercise the multi-segment merge + MergeTopDocs.
-        // Positions stored so the same index serves phrase queries (q50).
+        // Positions + term vectors stored so the same index serves phrase
+        // queries (q50) and TV/MLT (q54/q55).
         val idx = IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
-          BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true),
+          BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true,
+            storeTermVectors = true),
           inputPath = docsPath)
         new IndexSearcher(idx)
       })
@@ -62,7 +64,7 @@ object SparkEntry {
     mfCached.synchronized {
       mfCached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f3-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f4-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         val idx = MultiFieldIndex.buildOrLoad(spark, docs, "doc_id",
           Seq("text", "lang", "source"), indexDir,
@@ -79,7 +81,7 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(s"$sfDir#del", {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f3-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f4-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
           BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = docsPath)
@@ -339,6 +341,33 @@ object SparkEntry {
     // the match set
     "q52_sorted_set_facet" -> ((spark: SparkSession, sfDir: String) =>
       searcher(spark, sfDir).facetTopTerms(spark, TermQ("dup"), 10)),
+    // index sorting (IndexWriterConfig.setIndexSort analogue): docIds are
+    // dense ranks of (n_chars desc, doc_id asc) — docId order == sort order,
+    // assigned distributed (range-partition + zipWithIndex), zero-shuffle
+    // build; certified via the per-row sha invariant at the new ids
+    "q56_sorted_index" -> ((spark: SparkSession, sfDir: String) => {
+      val docsPath = s"$sfDir/documents.parquet"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f4-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val docs = spark.read.parquet(docsPath)
+      val idx = IndexBuilder.buildSorted(spark, docs,
+        Seq(col("n_chars").desc, col("doc_id").asc), "text", dir,
+        BuildConfig(numSegments = 4, chunkDocs = 128))
+      idx.docmeta(spark).select(col("docId").as("doc_id"), col("sha")).orderBy("doc_id")
+    }),
+    // term vectors (termvectorswriter.go role): per-doc term list with freq
+    // and position extent, read back by docId pushdown
+    "q54_term_vectors" -> ((spark: SparkSession, sfDir: String) =>
+      graft.index.TermVectors.readAll(spark, index(spark, sfDir))
+        .where(col("docId") < 20)
+        .select(col("docId").as("doc_id"), col("term"), col("freq").cast("long").as("freq"),
+          element_at(col("positions"), 1).cast("long").as("first_pos"),
+          element_at(col("positions"), size(col("positions"))).cast("long").as("last_pos"))
+        .orderBy("doc_id", "term")),
+    // more-like-this over term vectors: seed terms = doc 98's top-5 by
+    // freq*idf (tie term asc), then a SHOULD disjunction of them (seed doc
+    // excluded); ordered by 6dp-rounded score desc, doc_id asc
+    "q55_more_like_this" -> ((spark: SparkSession, sfDir: String) =>
+      graft.index.MoreLikeThis.search(spark, searcher(spark, sfDir), 98L, 5, 10)),
     // Structured-Streaming ingestion, end to end: the documents table
     // arrives as TWO micro-batches (foreachBatch contract via indexBatch,
     // exactly-once on batchId); the streamed index must reproduce the
@@ -347,7 +376,7 @@ object SparkEntry {
     "q45_stream_stats" -> ((spark: SparkSession, sfDir: String) => {
       import spark.implicits._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f3-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f4-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
       val cfg = BuildConfig(numSegments = 2, chunkDocs = 128)
       graft.streaming.StreamingIndexer.indexBatch(spark,
         docs.where(col("doc_id") < 250), "doc_id", "text", dir, cfg, batchId = 0L)
@@ -390,7 +419,7 @@ object SparkEntry {
     // compacted docId asc, which the oracle reproduces as live-doc order.
     "q53_force_merge" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f3-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f4-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       val docs = spark.read.parquet(docsPath)
       IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", dir,
         BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true),
@@ -826,6 +855,36 @@ object SparkEntry {
       s"""$base, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
          |fac AS (SELECT tf.term, count(*)::BIGINT AS cnt FROM tf JOIN m USING (doc_id) GROUP BY 1)
          |SELECT term, cnt FROM fac ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
+    // sorted index: new docId = rank of (n_chars desc, doc_id asc); content
+    // identity at each rank certified by the sha invariant
+    "q56_sorted_index" ->
+      """SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1)::BIGINT AS doc_id,
+        |       sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // term-vector rows: freq + position extent per (doc, term); positions
+    // are 0-based emitted-token ranks (subscripts are 1-based -> -1)
+    "q54_term_vectors" ->
+      raw"""WITH tl AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+           |  FROM documents WHERE doc_id < 20
+           |), pos AS (
+           |  SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS p FROM tl
+           |)
+           |SELECT doc_id, term, count(*)::BIGINT AS freq,
+           |       (min(p) - 1)::BIGINT AS first_pos, (max(p) - 1)::BIGINT AS last_pos
+           |FROM pos GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+    // MLT: seeds = doc 98's top-5 terms by freq*idf (tie term asc), blended
+    // SHOULD sum over the seeds, seed doc excluded, rounded-score ordering
+    "q55_more_like_this" ->
+      s"""$base, seeds AS (
+         |  SELECT term FROM sc WHERE doc_id = 98
+         |  ORDER BY freq * idf DESC, term ASC LIMIT 5
+         |), hits AS (
+         |  SELECT doc_id, sum(idf - idf / (1.0 + freq * cn)) AS s
+         |  FROM sc JOIN seeds USING (term) GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM hits WHERE doc_id <> 98
+         |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
     // phrase BM25: positions = subscripts of the whitespace token list;
     // phrase freq = adjacent-pair count; weight = idf('table') + idf('hash')
     "q50_phrase" ->

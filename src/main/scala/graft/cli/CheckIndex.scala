@@ -63,6 +63,7 @@ object CheckIndex {
       println(s"[graft] WARNING: orphan uncommitted postings generations ${orphanGens.mkString(",")} (invisible to readers)")
 
     // ---- 2. posting-list structural invariants -------------------------
+    val hasPositions = manifest.hasPositions
     val postingErrs = idx.postings(spark).as[TermPostings]
       .mapPartitions { it =>
         var errs = 0L
@@ -78,6 +79,31 @@ object CheckIndex {
             docs.foreach { d => if (d.toInt <= prev) errs += 1; prev = d.toInt }
             freqs.foreach { f => if (f < 1) errs += 1; ttf += f }
             n += b.count
+            // positions stream (when declared): per posting exactly freq
+            // strictly-ascending non-negative positions, stream fully consumed
+            if (hasPositions) {
+              if (b.posBytes == null) errs += 1
+              else {
+                // stream = per posting: freq deltas (first absolute >= 0,
+                // gaps >= 1 => strictly ascending), fully consumed at the end
+                var p = 0
+                var i = 0
+                var bad = false
+                while (i < freqs.length && !bad) {
+                  var k = 0
+                  while (k < freqs(i).toInt && !bad) {
+                    try {
+                      val (d, p2) = graft.codec.Varint.readUvarint(b.posBytes, p)
+                      if (k > 0 && d == 0L) bad = true // equal positions
+                      p = p2
+                    } catch { case _: ArrayIndexOutOfBoundsException => bad = true }
+                    k += 1
+                  }
+                  i += 1
+                }
+                if (bad || p != b.posBytes.length) errs += 1
+              }
+            }
           }
           if (n != tp.docFreq) errs += 1
           if (ttf != tp.totalTermFreq) errs += 1
@@ -85,7 +111,8 @@ object CheckIndex {
         Iterator.single(errs)
       }.reduce(_ + _)
     bad += postingErrs
-    println(s"[graft] postings structural violations: $postingErrs")
+    println(s"[graft] postings structural violations: $postingErrs" +
+      (if (hasPositions) " (incl. positions-stream checks)" else ""))
 
     // ---- 1. manifest vs re-aggregated stats ----------------------------
     val postAgg = idx.postings(spark)

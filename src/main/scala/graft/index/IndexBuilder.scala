@@ -70,7 +70,11 @@ final case class BuildConfig(
       * DOCS_AND_FREQS_AND_POSITIONS, `core/document/indexoptions.go:3-29`) —
       * required for [[graft.search.PhraseQ]]; appends must match the
       * committed index's setting */
-    storePositions: Boolean = false)
+    storePositions: Boolean = false,
+    /** write per-doc term vectors (freq + positions + offsets per term,
+      * `codecs/simpletext/termvectorswriter.go` role) for highlighting /
+      * more-like-this; appends must match the committed setting */
+    storeTermVectors: Boolean = false)
 
 /** Spark-native inverted-index builder (SURVEY.md §7 modules 3-4).
   *
@@ -156,6 +160,33 @@ object IndexBuilder {
     buildInternal(spark, docs, docIdCol, contentCol, indexDir, cfg, inputPath, prev = None,
       streamBatch = streamBatch)
 
+  /** Index sorting (Lucene's IndexWriterConfig.setIndexSort — docs laid out
+    * in sort-field order at flush; SURVEY §2.3 "Index sorting"): docIds are
+    * assigned as the DENSE RANK of `sortCols` order, so docId order == sort
+    * order and early-termination-by-docId equals early-termination-by-sort.
+    * Distributed: range-partition by the sort key + sort within partitions +
+    * zipWithIndex (no single-task window); the ranked partitions are then
+    * contiguous ascending docId runs, which is exactly the
+    * `assumeContiguous` contract — the build itself is the ZERO-SHUFFLE
+    * path. `sortCols` must define a total order (add a unique tiebreak
+    * column) for deterministic ids under replay.
+    */
+  def buildSorted(spark: SparkSession, docs: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+                  contentCol: String, indexDir: String,
+                  cfg: BuildConfig = BuildConfig(),
+                  inputPath: String = ""): BuiltIndex = {
+    val parts = math.max(1, math.min(docs.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism))
+    val sorted = docs.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema.add("__doc_id", org.apache.spark.sql.types.LongType)
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    val withIds = spark.createDataFrame(ranked, schema)
+    buildInternal(spark, withIds, "__doc_id", contentCol, indexDir,
+      cfg.copy(assumeContiguous = true), inputPath, prev = None)
+  }
+
   /** Incremental append — the IndexWriter.AddDocument+Commit lifecycle
     * (`core/index/indexwriter.go:399,493`): index new docs as ADDITIONAL
     * segments of a committed index; existing segments are never rewritten
@@ -234,6 +265,7 @@ object IndexBuilder {
       IndexIO.delete(spark, s"$indexDir/postings")
       IndexIO.delete(spark, s"$indexDir/docmeta")
       IndexIO.delete(spark, s"$indexDir/deletes")
+      IndexIO.delete(spark, s"$indexDir/termvectors")
       // staging is NOT wiped here: a same-fingerprint stageCheckpoint
       // re-build resumes from it (the reuse check validates the fp)
     }
@@ -308,6 +340,10 @@ object IndexBuilder {
     staged.filter(_.term == null)
       .map(r => DocMeta(r.segmentId, r.segmentId.toLong * segSizeL + r.localDoc, r.norm, r.sha))
       .write.mode("overwrite").parquet(docmetaDir)
+    // term vectors: their own narrow map over the input (Lucene keeps TV in
+    // separate per-segment files too — read by docId, not by term)
+    if (cfg.storeTermVectors)
+      TermVectors.write(spark, input, cfg.stopWords, indexDir, generation)
     phase("stage1+docmeta")
 
     // ---- stage 2: salted sort-merge of chunk blocks (≙ SegmentMerger) ---
@@ -363,6 +399,9 @@ object IndexBuilder {
       require(m.hasPositions == cfg.storePositions,
         s"append storePositions=${cfg.storePositions} must match the committed " +
           s"index's hasPositions=${m.hasPositions} (a mixed index would break phrase queries)")
+      require(m.hasTermVectors == cfg.storeTermVectors,
+        s"append storeTermVectors=${cfg.storeTermVectors} must match the committed " +
+          s"index's hasTermVectors=${m.hasTermVectors}")
     }
     val manifest = Manifest(
       generation = generation,
@@ -379,7 +418,8 @@ object IndexBuilder {
       lastStreamBatch =
         if (streamBatch >= 0L) streamBatch
         else prev.map(_.lastStreamBatch).getOrElse(-1L),
-      hasPositions = cfg.storePositions)
+      hasPositions = cfg.storePositions,
+      hasTermVectors = cfg.storeTermVectors)
     IndexIO.writeManifest(spark, indexDir, manifest)
     // drop STALE staged generations (this one stays reusable for a
     // same-fingerprint re-build; prior gens would otherwise accumulate

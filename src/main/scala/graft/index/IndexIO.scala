@@ -196,6 +196,11 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
   def docmeta(spark: SparkSession): DataFrame =
     readGens(spark, s"$indexDir/docmeta", manifest.minGen, manifest.generation)
 
+  /** Committed term-vector rows (when built with storeTermVectors) — same
+    * gen-visibility rule as [[postings]]. */
+  def termVectorsDf(spark: SparkSession): DataFrame =
+    readGens(spark, s"$indexDir/termvectors", manifest.minGen, manifest.generation)
+
   /** Committed tombstones (segmentId, localDoc); empty when the index has
     * no deletes. Only generations <= manifest.deleteGen are read, so an
     * orphan dir from a crashed delete op never leaks into queries. */

@@ -173,6 +173,42 @@ object IndexOps {
       }
     spark.createDataset(mergedDm).write.mode("overwrite").parquet(s"$indexDir/docmeta/gen=$gen")
 
+    // ---- term vectors (when present): drop tombstoned docs, remap docIds --
+    if (m.hasTermVectors) {
+      val tvKeyed: org.apache.spark.rdd.RDD[((Int, Int, String), AnyRef)] =
+        TermVectors.readAll(spark, idx).rdd
+          .map(tv => (((tv.docId / segSize).toInt, 1, "%019d".format(tv.docId)), tv: AnyRef))
+          .union(delRdd.map { case (seg, local) =>
+            ((seg, 0, ""), java.lang.Integer.valueOf(local): AnyRef)
+          })
+      val mergedTv = tvKeyed
+        .repartitionAndSortWithinPartitions(segPartitioner)
+        .mapPartitions { it =>
+          var curSeg = Int.MinValue
+          var deleted: Array[Int] = Array.emptyIntArray
+          val delBuf = new graft.analysis.IntBuf(16)
+          it.flatMap { case ((seg, tag, _), payload) =>
+            if (seg != curSeg) { curSeg = seg; delBuf.n = 0; deleted = null }
+            if (tag == 0) {
+              delBuf.add(payload.asInstanceOf[java.lang.Integer].intValue)
+              Iterator.empty
+            } else {
+              if (deleted == null) {
+                deleted = java.util.Arrays.copyOf(delBuf.a, delBuf.n)
+                java.util.Arrays.sort(deleted)
+              }
+              val tv = payload.asInstanceOf[TermVectorRow]
+              val local = (tv.docId - seg.toLong * segSize).toInt
+              val shift = Compaction.deletedAtOrBelow(deleted, local)
+              if (shift >= 0)
+                Iterator.single(tv.copy(docId = seg.toLong * segSize + (local - shift)))
+              else Iterator.empty
+            }
+          }
+        }
+      spark.createDataset(mergedTv).write.mode("overwrite").parquet(s"$indexDir/termvectors/gen=$gen")
+    }
+
     // ---- recompute per-segment stats from the compacted data -------------
     val newPostings = spark.read.parquet(s"$indexDir/postings/gen=$gen")
     val newDocmeta = spark.read.parquet(s"$indexDir/docmeta/gen=$gen")
@@ -210,6 +246,7 @@ object IndexOps {
     (m.minGen to m.generation).foreach { g =>
       IndexIO.delete(spark, s"$indexDir/postings/gen=$g")
       IndexIO.delete(spark, s"$indexDir/docmeta/gen=$g")
+      if (m.hasTermVectors) IndexIO.delete(spark, s"$indexDir/termvectors/gen=$g")
     }
     IndexIO.delete(spark, s"$indexDir/deletes")
     new BuiltIndex(indexDir, m2)

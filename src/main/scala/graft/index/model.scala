@@ -129,7 +129,11 @@ final case class Manifest(
     // DOCS_AND_FREQS_AND_POSITIONS, `core/document/indexoptions.go:3-29`).
     // Appends must match the committed value — a mixed index would make
     // phrase queries fail on some generations only.
-    hasPositions: Boolean = false
+    hasPositions: Boolean = false,
+    // whether per-doc term vectors were written alongside
+    // (`codecs/simpletext/termvectorswriter.go` role); same append-match
+    // rule as hasPositions.
+    hasTermVectors: Boolean = false
 )
 
 /** One tombstone: a deleted doc addressed segment-locally (the live-docs

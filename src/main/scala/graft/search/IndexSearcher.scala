@@ -474,34 +474,45 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     */
   def searchMany(spark: SparkSession, queries: Seq[(String, Query)], k: Int): Dataset[QueryHit] = {
     import spark.implicits._
+    val t0 = System.nanoTime()
     val normed = queries.map { case (id, q) => id -> rewrite(spark, q) }
     val allTerms = normed.flatMap(_._2.terms).toSet
     val allPreds = normed.flatMap(_._2.termPreds).toSet
-    // one parquet read serves both the stats job and the kernel job
     val rows = postingRows(spark, allTerms, allPreds)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val stats = rows.groupBy("term")
-        .agg(sum("docFreq").as("df"), sum("totalTermFreq").as("ttf"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val n = index.stats.fieldDocCount
-      val ctx = QueryContext(
-        stats.map { case (t, df) => t -> Bm25.idf(df, n) },
-        Bm25.buildCache(index.stats.avgdl), n)
-      val perLeaf: Dataset[QueryHit] = runSegments(spark, rows) { (seg, post, del) =>
-        val rds = readers(post, ctx) // decode memo shared across ALL queries of the batch
-        normed.iterator.flatMap { case (id, q) =>
-          SegmentKernel.topK(q, rds, seg, ctx, k, None, del)
-            .map(sd => QueryHit(id, sd.docId, sd.score))
-        }
+    // Stats pass on a COLUMN-PRUNED scan: only (term, docFreq, ttf) leave
+    // the parquet reader — the blocks column (the index's bulk) is never
+    // touched here. Round 2 persisted the full rows to share one read with
+    // the kernel job, but the persist (a) blocked column pruning, so the
+    // stats job decoded every posting block, and (b) wrote those blocks
+    // through the storage-memory path — a memory-bandwidth-bound serial-ish
+    // cost that capped 8->32 batch scaling. Two pruned scans are cheaper
+    // than one unpruned scan + cache round-trip, and both parallelize.
+    val t1 = System.nanoTime()
+    val stats = rows.groupBy("term")
+      .agg(sum("docFreq").as("df"), sum("totalTermFreq").as("ttf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = index.stats.fieldDocCount
+    val ctx = QueryContext(
+      stats.map { case (t, df) => t -> Bm25.idf(df, n) },
+      Bm25.buildCache(index.stats.avgdl), n)
+    val t2 = System.nanoTime()
+    val perLeaf: Dataset[QueryHit] = runSegments(spark, rows) { (seg, post, del) =>
+      val rds = readers(post, ctx) // decode memo shared across ALL queries of the batch
+      normed.iterator.flatMap { case (id, q) =>
+        SegmentKernel.topK(q, rds, seg, ctx, k, None, del)
+          .map(sd => QueryHit(id, sd.docId, sd.score))
       }
-      // per-query merge ≡ MergeTopDocs; the result is small by construction
-      // (≤ queries×k rows), so materialize eagerly and release the cache
-      val merged = perLeaf.groupByKey(_.queryId).flatMapGroups { (_, hits) =>
-        hits.toArray.sortBy(h => (-h.score, h.docId)).take(k).iterator
-      }.collect()
-      spark.createDataset(merged.toSeq)
-    } finally rows.unpersist(blocking = false)
+    }
+    // per-query merge ≡ MergeTopDocs; the result is small by construction
+    // (≤ queries×k rows), so materialize eagerly
+    val merged = perLeaf.groupByKey(_.queryId).flatMapGroups { (_, hits) =>
+      hits.toArray.sortBy(h => (-h.score, h.docId)).take(k).iterator
+    }.collect()
+    val t3 = System.nanoTime()
+    if (sys.env.contains("GRAFT_BATCH_TIMING"))
+      System.err.println(f"[graft-batch] rewrite=${(t1 - t0) / 1e9}%.2f stats=${(t2 - t1) / 1e9}%.2f " +
+        f"kernel+merge=${(t3 - t2) / 1e9}%.2f")
+    spark.createDataset(merged.toSeq)
   }
 
   /** Exhaustive (doc, score) stream for every match — oracle/verify path. */

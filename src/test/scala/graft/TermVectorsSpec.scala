@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer
+import graft.index._
+import graft.search._
+
+/** Term vectors (per-doc inverted view with freq/positions/offsets), the
+  * highlighter that consumes their offsets, and more-like-this seeded from
+  * their term weights.
+  */
+class TermVectorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // uniq$i keeps every doc's content (and sha) distinct — the forceMerge
+  // test keys docs by sha across the docId remap
+  private val docs: Seq[(Long, String)] = (0L until 120L).map { i =>
+    (i, s"alpha w${i % 9} beta common alpha tail${i % 4} uniq$i " +
+      (if (i % 3 == 0) "needle haystack " else "") + s"w${i % 9} omega")
+  }
+
+  private val cfg = BuildConfig(numSegments = 2, chunkDocs = 128,
+    storePositions = true, storeTermVectors = true)
+
+  private lazy val index = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tv").toString
+    IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir, cfg)
+  }
+
+  test("term vectors round-trip the analyzer's freq/positions/offsets per doc") {
+    val a = Analyzer.standard
+    for (id <- Seq(0L, 3L, 119L)) {
+      val got = TermVectors.ofStoredDoc(spark, index, id).map(r => r.term -> r).toMap
+      val want = a.tokenize(docs(id.toInt)._2).groupBy(_.term)
+      assert(got.keySet == want.keySet)
+      want.foreach { case (t, toks) =>
+        val r = got(t)
+        assert(r.freq == toks.size)
+        assert(r.positions.toSeq == toks.map(_.position))
+        assert(r.startOffsets.toSeq == toks.map(_.startOffset))
+        assert(r.endOffsets.toSeq == toks.map(_.endOffset))
+      }
+    }
+  }
+
+  test("index without term vectors fails closed on TV reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tv-none").toString
+    val idx = IndexBuilder.build(spark, docs.take(10).toDF("doc_id", "text"),
+      "doc_id", "text", dir, BuildConfig(numSegments = 1, chunkDocs = 128))
+    val ex = intercept[IllegalArgumentException] {
+      TermVectors.ofStoredDoc(spark, idx, 0L)
+    }
+    assert(ex.getMessage.contains("term vectors"))
+  }
+
+  test("highlighter marks query terms inside the best window via TV offsets") {
+    val text = docs(3)._2 // contains "needle haystack"
+    val tv = TermVectors.ofStoredDoc(spark, index, 3L).toSeq
+    val snip = Highlighter.highlight(text, tv, Set("needle", "haystack"))
+    assert(snip.matchCount == 2)
+    assert(snip.text.contains("<b>needle</b>") && snip.text.contains("<b>haystack</b>"))
+    // no match: first-window fallback, zero count
+    assert(Highlighter.highlight(text, tv, Set("zzz")).matchCount == 0)
+  }
+
+  test("more-like-this: seed selection is deterministic (freq*idf, tie term asc) and seed doc excluded") {
+    val s = new IndexSearcher(index)
+    val seeds = MoreLikeThis.selectTerms(spark, s, 3L, 4)
+    // manual expectation from corpus stats
+    val a = Analyzer.standard
+    val tf = a.termFreqs(docs(3)._2)._1
+    val n = index.stats.fieldDocCount
+    val df = tf.keys.map(t => t -> docs.count(d => a.termFreqs(d._2)._1.contains(t)).toLong).toMap
+    val want = tf.map { case (t, f) => (t, f * graft.bm25.Bm25.idf(df(t), n)) }
+      .toSeq.sortBy { case (t, w) => (-w, t) }.take(4)
+    assert(seeds.map(_._1) == want.map(_._1))
+    val res = MoreLikeThis.search(spark, s, 3L, 4, 10).collect()
+    assert(res.nonEmpty && !res.exists(_.getLong(0) == 3L))
+    // the most similar docs share the needle/haystack markers (i % 3 == 0)
+    assert(res.take(3).forall(_.getLong(0) % 3 == 0))
+  }
+
+  test("forceMerge carries term vectors through with remapped docIds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tv-fm").toString
+    IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir, cfg)
+    IndexOps.deleteByTerm(spark, dir, "needle")
+    val merged = IndexOps.forceMerge(spark, dir)
+    assert(merged.manifest.hasTermVectors)
+    // sha -> docId map from compacted docmeta; every live doc's TV must
+    // equal the analyzer's view of its ORIGINAL text
+    val bySha = merged.docmeta(spark).select("docId", "sha").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val live = docs.filterNot(_._2.contains("needle"))
+    assert(bySha.size == live.size)
+    val a = Analyzer.standard
+    val probe = live(7)
+    val newId = bySha(IndexBuilder.sha256Hex(probe._2))
+    val got = TermVectors.ofStoredDoc(spark, merged, newId).map(r => r.term -> r.freq).toMap
+    val want = a.termFreqs(probe._2)._1
+    assert(got == want.toMap)
+    // and no TV rows exist for deleted docs (row count = live terms count)
+    val totalTv = TermVectors.readAll(spark, merged).count()
+    val wantTv = live.map(d => a.termFreqs(d._2)._1.size.toLong).sum
+    assert(totalTv == wantTv)
+  }
+}

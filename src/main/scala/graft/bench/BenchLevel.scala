@@ -24,18 +24,22 @@ object BenchLevel {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Host-health probe: wall time of 8 raw JVM threads doing fixed
-    * register-only work. On a healthy 32-core host this equals the
-    * single-thread time; the sandbox has multi-minute windows where
-    * >2-core parallelism is throttled and this reads 3-5x higher.
+  /** Host-health probe: wall time of `nThreads` raw JVM threads doing FIXED
+    * register-only work per thread. With 8 threads it is the co-tenancy
+    * health check (healthy ~0.6 s; noisy windows read 3-5x higher). Run at
+    * the LEVEL's width it measures the host's ideal-work scaling envelope:
+    * on independent cores the wall is thread-count-invariant, so
+    * wall(8)/wall(32) is the ceiling ANY perfectly-parallel computation can
+    * reach from 8 -> 32 busy vCPUs on this (virtualized) host — measured
+    * ~0.7-0.8 here, i.e. even register-only arithmetic cannot scale at 1.0.
     */
-  private def calibrate(): Double = {
+  private def calibrate(nThreads: Int = 8, itersPerThread: Int = 400000000): Double = {
     val t0 = System.nanoTime()
-    val threads = (1 to 8).map { _ =>
+    val threads = (1 to nThreads).map { _ =>
       new Thread(() => {
         var x = 0L
         var i = 0
-        while (i < 400000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        while (i < itersPerThread) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
         if (x == 42) System.err.print("")
       })
     }
@@ -166,12 +170,16 @@ object BenchLevel {
         .map(h => s"${h.queryId}:${h.docId}:${h.score}").mkString("\n"))
 
     val calib = calibrate()
+    // fixed-work-per-thread probe at the LEVEL's width (5x the health
+    // probe's work so scheduler jitter amortizes): the cross-level ratio of
+    // these walls is the host's ideal-work scaling envelope
+    val calibWide = calibrate(cpus, itersPerThread = 2000000000)
     val membw = memBandwidth(cpus)
     val phaseKv = (phases.map { case (n, s) => f"p_$n=$s%.3f" } ++
       contigPhases.map { case (n, s) => f"pc_$n=$s%.3f" }).mkString(" ")
     println(f"LEVELRESULT cpus=$cpus docs=$nDocs build_secs=$buildSecs%.3f " +
       f"build_contig_secs=$buildContigSecs%.3f batch_secs=$batchSecs%.3f " +
-      f"calib_secs=$calib%.3f membw_gbps=$membw%.2f sha=$sha $phaseKv")
+      f"calib_secs=$calib%.3f calibwide_secs=$calibWide%.3f membw_gbps=$membw%.2f sha=$sha $phaseKv")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(shm + s"/spark-n$cpus"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir))

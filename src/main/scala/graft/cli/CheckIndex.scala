@@ -72,7 +72,7 @@ object CheckIndex {
           var n = 0
           var ttf = 0L
           tp.blocks.foreach { b =>
-            val docs = ForBlock.decode(b.docBytes)
+            val docs = graft.codec.MonotonicBlock.decode(b.docBytes)
             val freqs = ForBlock.decode(b.freqBytes)
             if (docs.length != b.count || freqs.length != b.count || b.norms.length != b.count) errs += 1
             if (docs.nonEmpty && docs.last.toInt != b.maxDoc) errs += 1

@@ -38,6 +38,49 @@ object Varint {
   @inline def zigzagDecode(v: Long): Long = (v >>> 1) ^ -(v & 1L)
 }
 
+/** Monotonic block codec — the role of the reference's
+  * `MonotonicBlockPackedWriter` (`core/util/packed/monotonic.go` idea:
+  * approximate a monotone sequence by a linear model and pack only the
+  * residuals). Layout: zigzag-varint(first), zigzag-varint(avgSlope), then a
+  * [[ForBlock]] of the residuals `v_i - (first + i*avgSlope)`. For a dense
+  * ascending docId run the residuals sit near zero — a couple of bits per
+  * value versus FOR's log2(range) — and the composition reuses ForBlock's
+  * property-tested bit packing. Works for ANY Long sequence (residual FOR
+  * is sign-safe); it only COMPRESSES well when the input is near-linear.
+  */
+object MonotonicBlock {
+  def encode(values: Array[Long]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(values.length + 8)
+    Varint.writeUvarint(out, values.length.toLong)
+    if (values.isEmpty) return out.toByteArray
+    val first = values(0)
+    val avg = if (values.length == 1) 0L else (values(values.length - 1) - first) / (values.length - 1)
+    Varint.writeUvarint(out, Varint.zigzagEncode(first))
+    Varint.writeUvarint(out, Varint.zigzagEncode(avg))
+    val residuals = new Array[Long](values.length)
+    var i = 0
+    while (i < values.length) { residuals(i) = values(i) - (first + i * avg); i += 1 }
+    val packed = ForBlock.encode(residuals)
+    out.write(packed, 0, packed.length)
+    out.toByteArray
+  }
+
+  def decode(buf: Array[Byte]): Array[Long] = {
+    val (nL, p0) = Varint.readUvarint(buf, 0)
+    val n = nL.toInt
+    if (n == 0) return Array.emptyLongArray
+    val (zf, p1) = Varint.readUvarint(buf, p0)
+    val (za, p2) = Varint.readUvarint(buf, p1)
+    val first = Varint.zigzagDecode(zf)
+    val avg = Varint.zigzagDecode(za)
+    val residuals = ForBlock.decode(java.util.Arrays.copyOfRange(buf, p2, buf.length))
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = first + i * avg + residuals(i); i += 1 }
+    out
+  }
+}
+
 /** Frame-of-reference bit-packed block codec.
   *
   * Mirrors the layout idea of the reference's `BlockPackedWriter`

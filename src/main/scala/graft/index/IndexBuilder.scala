@@ -587,7 +587,7 @@ object IndexBuilder {
           bos.toByteArray
         }
       val (impF, impN) = Impacts.pareto(freqs, norms, i, end)
-      out += PostingBlock(docs(end - 1), end - i, ForBlock.encode(d), ForBlock.encode(f), nb,
+      out += PostingBlock(docs(end - 1), end - i, graft.codec.MonotonicBlock.encode(d), ForBlock.encode(f), nb,
         impF, impN, posBytes)
       i = end
     }

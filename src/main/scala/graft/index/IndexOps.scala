@@ -313,7 +313,7 @@ private[index] object Compaction {
     val posB = if (hasPos) new graft.analysis.IntBuf(64) else null
     var ttf = 0L
     tp.blocks.foreach { blk =>
-      val docs = graft.codec.ForBlock.decode(blk.docBytes)
+      val docs = graft.codec.MonotonicBlock.decode(blk.docBytes)
       val freqs = graft.codec.ForBlock.decode(blk.freqBytes)
       val pos = if (hasPos) decodePositions(blk, freqs) else null
       var i = 0

@@ -550,7 +550,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       .flatMap { tp =>
         val base = tp.segmentId.toLong * segSize
         tp.blocks.iterator.flatMap(b =>
-          graft.codec.ForBlock.decode(b.docBytes).iterator.map(l => (tp.term, base + l)))
+          graft.codec.MonotonicBlock.decode(b.docBytes).iterator.map(l => (tp.term, base + l)))
       }
       .toDF("term", "doc_id")
     pairs.join(matches, "doc_id")

@@ -50,7 +50,7 @@ final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
 
   def docsOf(bi: Int): Array[Long] = {
     var d = memoDocs(bi)
-    if (d == null) { d = ForBlock.decode(blocks(bi).docBytes); memoDocs(bi) = d }
+    if (d == null) { d = graft.codec.MonotonicBlock.decode(blocks(bi).docBytes); memoDocs(bi) = d }
     d
   }
 

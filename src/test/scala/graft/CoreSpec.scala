@@ -157,7 +157,7 @@ class CodecSpec extends AnyFunSuite {
     assert(blocks.length == (n + PostingBlock.Size - 1) / PostingBlock.Size)
     assert(blocks.map(_.count).sum == n)
     assert(blocks.last.maxDoc == docs.last)
-    val dec = blocks.flatMap(b => ForBlock.decode(b.docBytes))
+    val dec = blocks.flatMap(b => graft.codec.MonotonicBlock.decode(b.docBytes))
     assert(dec.toSeq == docs.map(_.toLong).toSeq)
     blocks.foreach(b => assert(b.impactFreqs.nonEmpty && b.impactFreqs.length == b.impactNorms.length))
   }

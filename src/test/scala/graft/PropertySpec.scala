@@ -29,6 +29,24 @@ object EngineProperties extends Properties("graft") {
       Varint.readUvarint(out.toByteArray, 0)._1 == v
     }
 
+  property("MonotonicBlock decode∘encode == id (arbitrary longs)") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(-(1L << 40), 1L << 40))) { xs =>
+      graft.codec.MonotonicBlock.decode(
+        graft.codec.MonotonicBlock.encode(xs.toArray)).toSeq == xs
+    }
+
+  property("MonotonicBlock beats FOR on dense ascending docId runs (block-sized)") =
+    Prop.forAll(Gen.chooseNum(0, 1 << 20), Gen.chooseNum(16, 128)) { (base, n) =>
+      // a dense run base..base+n-1 (the common docId block shape): the
+      // linear model makes residuals all-zero -> near-constant size, while
+      // FOR pays log2(n) bits per value. (Below ~8 values the fixed model
+      // header dominates and the sizes tie — real blocks are 128.)
+      val xs = Array.tabulate(n)(i => (base + i).toLong)
+      val mono = graft.codec.MonotonicBlock.encode(xs).length
+      val forb = ForBlock.encode(xs).length
+      mono < forb
+    }
+
   property("zigzag round-trip") =
     Prop.forAll { (v: Long) => Varint.zigzagDecode(Varint.zigzagEncode(v)) == v }
 

@@ -421,35 +421,47 @@ object Bench {
          |efficiency at the same levels on this host) and supersedes round
          |2's "memory-ceiling" reading: the shortfall rounds were co-tenant
          |interference windows, not a hardware property.""".stripMargin
-           else
+           else {
+             val aluTxt =
+               if (aluCeiling >= 0.9)
+                 s"""the register-only probe scales near-ideally
+         |(${"%.3f".format(aluCeiling)}: the 32 vCPUs are real, independent
+         |cores), so the shortfall is NOT cpu virtualization — it tracks the
+         |memory-stream probe below: one socket's memory system is shared by
+         |all 32 threads, while a real 4N-executor cluster multiplies memory
+         |systems with executors."""
+               else
+                 s"""even the register-only probe scales at only
+         |${"%.3f".format(aluCeiling)} from 8 to 32 busy vCPUs in this window
+         |(walls ${"%.2f".format(n8.calibWideSecs)} s -> ${"%.2f".format(n32.calibWideSecs)} s
+         |for identical per-thread work) — the host itself is not providing
+         |4x resources."""
              s"""**Target not reached at raw 8->32 thread counts**: best build
          |efficiency ${"%.3f".format(bestBuild)}, best QPS efficiency
          |${"%.3f".format(bestQps)} across ${runs.size} interleaved rounds
-         |(raw target >= 0.8). Read these against the HOST'S OWN scaling
-         |envelope below: a fixed-work-per-thread register-only probe — no
-         |memory, no shuffle, perfectly parallel — scales at only
-         |**${"%.3f".format(aluCeiling)}** from 8 to 32 busy vCPUs on this
-         |virtualized box (walls ${"%.2f".format(n8.calibWideSecs)} s ->
-         |${"%.2f".format(n32.calibWideSecs)} s for identical per-thread
-         |work). No engine can exceed what ideal arithmetic achieves; the
-         |batch reaches ${"%.0f".format(100 * bestQps / math.max(aluCeiling, 1e-9))}%
-         |of that envelope, and the unsaturated 2->8 pair (a true 4x of
-         |independent vCPUs) reaches ${corrQpsEff.map(e => "%.3f".format(e)).getOrElse("n/a")}
-         |QPS / ${corrContigEff.map(e => "%.3f".format(e)).getOrElse("n/a")} build.
-         |Round 1 once measured 0.824 QPS at 8->32 — the top of this
-         |envelope in a lucky window, not a reproducible operating point.""".stripMargin
+         |(raw target >= 0.8). Host attribution: $aluTxt
+         |The unsaturated 2->8 pair — a true 4x of independent vCPUs under
+         |the bandwidth knee — measures
+         |**${corrQpsEff.map(e => "%.3f".format(e)).getOrElse("n/a")} QPS /
+         |${corrContigEff.map(e => "%.3f".format(e)).getOrElse("n/a")} build**
+         |efficiency for the same binary, input, and partitioning: when the
+         |hardware provides 4x of every resource, the engine uses it.
+         |Round 1 once measured 0.824 QPS at 8->32 in a favorable window;
+         |the per-round tables above show tonight's windows.""".stripMargin
+         }
          }
          |
          |## Host diagnostics (what the windows looked like)
          |
-         |**Ideal-work scaling envelope** (the load-bearing measurement): a
-         |fixed-work-per-thread, register-only probe took
-         |${"%.2f".format(n8.calibWideSecs)} s with 8 busy vCPUs and
-         |${"%.2f".format(n32.calibWideSecs)} s with 32 — on independent
-         |cores these walls would be EQUAL, so this host scales even ideal
-         |arithmetic at only **${"%.3f".format(aluCeiling)}** from 8->32
-         |(virtualization/steal, not the engine). Every efficiency above
-         |should be read against this envelope, not against 1.0.
+         |**Ideal-work scaling envelope**: a fixed-work-per-thread,
+         |register-only probe took ${"%.2f".format(n8.calibWideSecs)} s with
+         |8 busy vCPUs and ${"%.2f".format(n32.calibWideSecs)} s with 32 —
+         |on independent cores these walls are EQUAL; the measured ratio
+         |**${"%.3f".format(aluCeiling)}** is the envelope ANY perfectly
+         |parallel computation can reach from 8->32 in this run's windows
+         |(near 1.0 = the vCPUs are real cores; well below 1.0 = the host
+         |itself withheld cpu). It separates cpu-side throttling from the
+         |memory-side contention measured next.
          |
          |A raw-JVM memory-stream probe (one 64 MB array per thread, one read
          |per cache line) observed aggregate bandwidth of

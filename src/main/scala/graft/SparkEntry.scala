@@ -354,6 +354,18 @@ object SparkEntry {
         BuildConfig(numSegments = 4, chunkDocs = 128))
       idx.docmeta(spark).select(col("docId").as("doc_id"), col("sha")).orderBy("doc_id")
     }),
+    // LatLonPoint analogue (latlon.go): deterministic per-doc coordinates
+    // (a pure function of doc_id, like q44's payloads), two-phase distance
+    // query — bounding-box scan pushdown, exact haversine confirm
+    "q57_geo_distance" -> ((spark: SparkSession, sfDir: String) => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val geo = docs.select(col("doc_id"),
+        ((col("doc_id") * 7919L % 18000L).cast("double") / 100.0 - 90.0).as("lat"),
+        ((col("doc_id") * 104729L % 36000L).cast("double") / 100.0 - 180.0).as("lon"))
+      graft.search.Geo.withinDistance(geo, "lat", "lon", 40.0, -74.0, 3000.0)
+        .select(col("doc_id"), round(col("dist_km"), 6).as("dist_km"))
+        .orderBy(col("dist_km").asc, col("doc_id").asc)
+    }),
     // term vectors (termvectorswriter.go role): per-doc term list with freq
     // and position extent, read back by docId pushdown
     "q54_term_vectors" -> ((spark: SparkSession, sfDir: String) =>
@@ -855,6 +867,24 @@ object SparkEntry {
       s"""$base, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
          |fac AS (SELECT tf.term, count(*)::BIGINT AS cnt FROM tf JOIN m USING (doc_id) GROUP BY 1)
          |SELECT term, cnt FROM fac ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
+    // geo distance: same derived coordinates, same haversine (2R·asin·sqrt
+    // form), rounded to 6dp (mm-scale; far above cross-libm ulp noise)
+    "q57_geo_distance" ->
+      """WITH geo AS (
+        |  SELECT doc_id,
+        |    (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+        |    (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id,
+        |    2 * 6371.0088 * asin(sqrt(
+        |      pow(sin((radians(lat) - radians(40.0)) / 2), 2)
+        |      + cos(radians(lat)) * cos(radians(40.0))
+        |        * pow(sin((radians(lon) - radians(-74.0)) / 2), 2))) AS dist_km
+        |  FROM geo
+        |)
+        |SELECT doc_id, round(dist_km, 6) AS dist_km FROM d WHERE dist_km <= 3000.0
+        |ORDER BY round(dist_km, 6) ASC, doc_id ASC""".stripMargin,
     // sorted index: new docId = rank of (n_chars desc, doc_id asc); content
     // identity at each rank certified by the sha invariant
     "q56_sorted_index" ->

@@ -30,8 +30,10 @@ object BenchLevel {
     * the LEVEL's width it measures the host's ideal-work scaling envelope:
     * on independent cores the wall is thread-count-invariant, so
     * wall(8)/wall(32) is the ceiling ANY perfectly-parallel computation can
-    * reach from 8 -> 32 busy vCPUs on this (virtualized) host — measured
-    * ~0.7-0.8 here, i.e. even register-only arithmetic cannot scale at 1.0.
+    * reach from 8 -> 32 busy vCPUs — near 1.0 when the vCPUs are real
+    * independent cores (measured 0.977 in a clean window here), well below
+    * 1.0 when the host withholds cpu (steal/oversubscription). Separates
+    * cpu-side throttling from memory-side contention.
     */
   private def calibrate(nThreads: Int = 8, itersPerThread: Int = 400000000): Double = {
     val t0 = System.nanoTime()

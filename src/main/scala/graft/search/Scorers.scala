@@ -38,8 +38,8 @@ trait Scorer {
 final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
   import graft.index.PostingBlock
   val blocks: Array[PostingBlock] = tp.blocks
-  private val memoDocs = new Array[Array[Long]](blocks.length)
-  private val memoFreqs = new Array[Array[Long]](blocks.length)
+  private val memoDocs = new Array[Array[Int]](blocks.length)
+  private val memoFreqs = new Array[Array[Int]](blocks.length)
   private val memoG = {
     val a = new Array[Double](blocks.length)
     java.util.Arrays.fill(a, Double.NaN)
@@ -48,15 +48,27 @@ final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
 
   val cost: Long = { var s = 0L; var j = 0; while (j < blocks.length) { s += blocks(j).count; j += 1 }; s }
 
-  def docsOf(bi: Int): Array[Long] = {
+  // decoded arrays are memoized as INTs (local docIds and freqs are 32-bit
+  // by construction): batch kernels re-traverse these arrays once per
+  // query, and halving their footprint halves the dominant memory traffic
+  // of the whole-vocabulary batch (the measured 8->32 limiter is the
+  // shared memory system, not cpu — BENCH/BASELINE.md host diagnostics)
+  private def toInts(l: Array[Long]): Array[Int] = {
+    val out = new Array[Int](l.length)
+    var i = 0
+    while (i < l.length) { out(i) = l(i).toInt; i += 1 }
+    out
+  }
+
+  def docsOf(bi: Int): Array[Int] = {
     var d = memoDocs(bi)
-    if (d == null) { d = graft.codec.MonotonicBlock.decode(blocks(bi).docBytes); memoDocs(bi) = d }
+    if (d == null) { d = toInts(graft.codec.MonotonicBlock.decode(blocks(bi).docBytes)); memoDocs(bi) = d }
     d
   }
 
-  def freqsOf(bi: Int): Array[Long] = {
+  def freqsOf(bi: Int): Array[Int] = {
     var f = memoFreqs(bi)
-    if (f == null) { f = ForBlock.decode(blocks(bi).freqBytes); memoFreqs(bi) = f }
+    if (f == null) { f = toInts(ForBlock.decode(blocks(bi).freqBytes)); memoFreqs(bi) = f }
     f
   }
 
@@ -157,8 +169,8 @@ final class PostingsScorer(
   private val blocks = reader.blocks
   private var bi = -1
   private var i = -1
-  private var docs: Array[Long] = _
-  private var freqs: Array[Long] = _
+  private var docs: Array[Int] = _
+  private var freqs: Array[Int] = _
   private var norms: Array[Byte] = _
   private var cur = -1
 
@@ -210,7 +222,7 @@ final class PostingsScorer(
       if (bi >= blocks.length) { cur = DISI.NO_MORE; return cur }
       loadBlock(); i = 0
     }
-    cur = docs(i).toInt
+    cur = docs(i)
     cur
   }
 
@@ -230,11 +242,11 @@ final class PostingsScorer(
       if (docs(mid) < target) lo = mid + 1 else hi = mid
     }
     i = lo
-    cur = docs(i).toInt
+    cur = docs(i)
     cur
   }
 
-  def freq: Int = freqs(i).toInt
+  def freq: Int = freqs(i)
   def normByte: Int = norms(i) & 0xFF
 
   /** Positions of the CURRENT posting as (flat array, start, end) — zero
@@ -246,7 +258,7 @@ final class PostingsScorer(
   }
 
   def score(): Double =
-    if (scoring) Bm25.score(weight, freqs(i).toInt, norms(i) & 0xFF, cache) else 0.0
+    if (scoring) Bm25.score(weight, freqs(i), norms(i) & 0xFF, cache) else 0.0
 }
 
 /** Exact-phrase scorer (slop 0) — the PhraseQuery/ExactPhraseMatcher shape

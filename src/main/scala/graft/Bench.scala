@@ -128,7 +128,12 @@ object Bench {
     // that swallows exactly one level's JVM would otherwise fake the ratio.
     val Array(lvlN, lvl4N) = sys.env.getOrElse("GRAFT_BENCH_LEVELS", "8,32")
       .split(",").map(_.trim.toInt)
-    val maxRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "5").toInt
+    val maxRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "4").toInt
+    // wall-clock budget for the scaling rounds: window hunting must never
+    // push the whole bench into a driver-side timeout (each paired round is
+    // ~4 min at sf0.1; corroboration + interactive add ~7 min after this)
+    val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET", "840").toInt
+    val tStart = System.nanoTime()
     def best(ls: Seq[Level]): Level = {
       val b = ls.minBy(_.buildSecs)
       val q = ls.minBy(_.batchSecs).batchSecs
@@ -164,9 +169,12 @@ object Bench {
           math.max(a.buildSecs / (4.0 * b.buildSecs),
                    a.buildContigSecs / (4.0 * b.buildContigSecs)) >= 0.8
       }
-      done = runs.size >= maxRounds || (math.max(eff, ceff) >= 0.8 && qe >= 0.8) || pairedOk
+      val overBudget = (System.nanoTime() - tStart) / 1e9 > budgetSecs
+      done = runs.size >= maxRounds || overBudget ||
+        (math.max(eff, ceff) >= 0.8 && qe >= 0.8) || pairedOk
       System.err.println(f"[bench] round ${runs.size}: buildEff=$eff%.3f contigEff=$ceff%.3f " +
-        f"qpsEff=$qe%.3f pairedOk=$pairedOk calib(N)=${bN.calibSecs}%.2f calib(4N)=${b4.calibSecs}%.2f")
+        f"qpsEff=$qe%.3f pairedOk=$pairedOk overBudget=$overBudget " +
+        f"calib(N)=${bN.calibSecs}%.2f calib(4N)=${b4.calibSecs}%.2f")
     }
     require(runs.flatMap(r => Seq(r._1.hitsSha, r._2.hitsSha)).distinct.size == 1,
       "rank identity violated across rounds/levels")

@@ -69,6 +69,15 @@ object Explain {
     section("exact dedup: hash-groupBy on sha2 — content never shuffles") {
       graft.pipeline.ExactDedup.keeperMap(docs, "doc_id", "text")
     }
+    section("geo box + distance: range predicates pushed, haversine codegen'd (no UDF)") {
+      val geo = docs.select(col("doc_id"),
+        ((col("doc_id") * 7919L % 18000L).cast("double") / 100.0 - 90.0).as("lat"),
+        ((col("doc_id") * 104729L % 36000L).cast("double") / 100.0 - 180.0).as("lon"))
+      Geo.withinDistance(geo, "lat", "lon", 40.0, -74.0, 3000.0)
+    }
+    section("SORTED_SET facet: postings sweep joined to the match set, bounded top-k") {
+      searcher.facetTopTerms(spark, TermQ("dup"), 10)
+    }
     spark.stop()
   }
 }

@@ -270,7 +270,11 @@ object Bench {
       // path (same ranks, block-max pruned) on a HOT text term + lang clause
       val mf = SparkEntry.mfSearcher(spark, sfDir)
       val blendedClauses = Seq(("text", "a", 1.0), ("lang", "en", 1.0))
-      mf.searchBlendedWand(spark, blendedClauses, 10).collect() // warm
+      // warm BOTH paths before timing either (a one-sided warm-up would
+      // bias the comparison toward whichever ran second)
+      mf.searchBlendedWand(spark, blendedClauses, 10).collect()
+      mf.searchBlended(spark,
+        blendedClauses.map { case (f, t, w) => (f, TermQ(t): Query, w) }, 10).collect()
       val (_, blExSecs) = timed(mf.searchBlended(spark,
         blendedClauses.map { case (f, t, w) => (f, TermQ(t): Query, w) }, 10).collect())
       val (_, blWandSecs) = timed(mf.searchBlendedWand(spark, blendedClauses, 10).collect())
@@ -373,7 +377,9 @@ object Bench {
          |and the zero-shuffle `assumeContiguous` build (stage 1 is a narrow
          |map — the path a production range-partitioned corpus takes). Each
          |level runs in its own fresh JVM (≙ one spark-submit per cluster
-         |size), self-warmed, ONE timed run per JVM with the level JVMs
+         |size), self-warmed; per JVM the builds are timed once and the
+         |query batch twice (min — the batch is cheap enough that an in-JVM
+         |repeat smooths sub-minute spikes), with the level JVMs
          |interleaved over up to ${runs.size} rounds (per-level min across
          |rounds — the sandbox host has multi-minute degradation windows that
          |would otherwise hit exactly one level), artifacts on tmpfs (the

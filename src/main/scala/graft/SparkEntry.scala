@@ -432,12 +432,20 @@ object SparkEntry {
     "q53_force_merge" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
       val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f5-${IndexBuilder.sha256Hex(docsPath).take(16)}"
-      val docs = spark.read.parquet(docsPath)
-      IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", dir,
-        BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true),
-        inputPath = docsPath)
-      graft.index.IndexOps.deleteByTerm(spark, dir, "dup") // no-op on a compacted reload
-      val merged = graft.index.IndexOps.forceMerge(spark, dir)
+      // a committed COMPACTED state (gen > 1, minGen == generation, no
+      // tombstones) is this query's end state — reuse it; buildOrLoad's
+      // fingerprint can't (forceMerge rewrites corpusSha and docCount)
+      val merged = graft.index.IndexIO.readManifest(spark, dir) match {
+        case Some(mm) if mm.deletedCount == 0L && mm.minGen == mm.generation && mm.minGen > 1L =>
+          new BuiltIndex(dir, mm)
+        case _ =>
+          val docs = spark.read.parquet(docsPath)
+          IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", dir,
+            BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true),
+            inputPath = docsPath)
+          graft.index.IndexOps.deleteByTerm(spark, dir, "dup")
+          graft.index.IndexOps.forceMerge(spark, dir)
+      }
       val s = new IndexSearcher(merged)
       val hits = s.search(spark, TermQ("join"), 10).toDF("doc_id", "s")
       hits.join(merged.docmeta(spark).select(col("docId").as("doc_id"), col("sha")), "doc_id")

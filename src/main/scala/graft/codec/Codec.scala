@@ -73,7 +73,9 @@ object MonotonicBlock {
     val (za, p2) = Varint.readUvarint(buf, p1)
     val first = Varint.zigzagDecode(zf)
     val avg = Varint.zigzagDecode(za)
-    val residuals = ForBlock.decode(java.util.Arrays.copyOfRange(buf, p2, buf.length))
+    // decode residuals in place (an offset read, not a tail copy — this
+    // runs per block on the hot query path)
+    val residuals = ForBlock.decode(buf, p2)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) { out(i) = first + i * avg + residuals(i); i += 1 }
@@ -142,8 +144,8 @@ object ForBlock {
     out.toByteArray
   }
 
-  def decode(buf: Array[Byte]): Array[Long] = {
-    var (nL, p) = Varint.readUvarint(buf, 0)
+  def decode(buf: Array[Byte], from: Int = 0): Array[Long] = {
+    var (nL, p) = Varint.readUvarint(buf, from)
     val n = nL.toInt
     if (n == 0) return Array.emptyLongArray
     val header = buf(p) & 0xFF; p += 1

@@ -175,16 +175,30 @@ object IndexBuilder {
                   contentCol: String, indexDir: String,
                   cfg: BuildConfig = BuildConfig(),
                   inputPath: String = ""): BuiltIndex = {
-    val parts = math.max(1, math.min(docs.rdd.getNumPartitions,
-      spark.sparkContext.defaultParallelism))
-    val sorted = docs.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
-    val schema = sorted.schema.add("__doc_id", org.apache.spark.sql.types.LongType)
-    val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
-    }
-    val withIds = spark.createDataFrame(ranked, schema)
+    val withIds = assignDenseIds(spark, docs, sortCols, base = 0L)
     buildInternal(spark, withIds, "__doc_id", contentCol, indexDir,
       cfg.copy(assumeContiguous = true), inputPath, prev = None)
+  }
+
+  /** Distributed dense-id assignment: ids = `base` + rank of `sortCols`
+    * order, appended as `__doc_id`. Range-partition + in-partition sort +
+    * zipWithIndex (partition offsets = one tiny count job) — never a
+    * single-partition window, so a burst input cannot serialize/OOM one
+    * task. The output partitions are contiguous ascending id runs (the
+    * `assumeContiguous` contract). `sortCols` must define a total order for
+    * deterministic ids under replay. Shared by [[buildSorted]] and the
+    * streaming indexer's per-batch id assignment.
+    */
+  def assignDenseIds(spark: SparkSession, df: DataFrame,
+                     sortCols: Seq[org.apache.spark.sql.Column], base: Long): DataFrame = {
+    val parts = math.max(1, math.min(df.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism))
+    val sorted = df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema.add("__doc_id", org.apache.spark.sql.types.LongType)
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + i))
+    }
+    spark.createDataFrame(ranked, schema)
   }
 
   /** Incremental append — the IndexWriter.AddDocument+Commit lifecycle

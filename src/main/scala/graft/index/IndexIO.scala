@@ -131,6 +131,15 @@ object IndexIO {
     target.flatMap { path =>
       try spark.read.parquet(path).as[Manifest].collect().headOption
       catch { case scala.util.control.NonFatal(_) => None }
+    }.filter { m =>
+      // codec gate: a manifest written by a different block codec must read
+      // as "no index" (fail closed) rather than let MonotonicBlock.decode
+      // chew FOR-encoded bytes into silent garbage. (Pre-versioned
+      // manifests already fail the schema read above.)
+      val ok = m.codecVersion == Manifest.CurrentCodecVersion
+      if (!ok) System.err.println(s"[graft] index at $indexDir has codecVersion " +
+        s"${m.codecVersion}, this build speaks ${Manifest.CurrentCodecVersion} — treating as no index")
+      ok
     }
   }
 }

@@ -96,117 +96,52 @@ object IndexOps {
     // within each segment ((segment, tag) composite key: tag 0 = tombstone,
     // 1 = data row). The rewrite task streams: it accumulates a segment's
     // tombstone array (small), then rewrites that segment's rows ONE AT A
-    // TIME — task memory is |segment tombstones| + one posting row, never a
+    // TIME — task memory is |segment tombstones| + one data row, never a
     // whole segment's postings (a cogroup would materialize the segment's
     // full index in one task's CompactBuffer — the anti-pattern at 100 TB).
+    // ONE implementation of that discipline serves postings, docmeta, and
+    // term vectors (Compaction.rewriteWithTombstones).
     val delRdd = idx.deleteRows(spark).rdd.map(d => (d.segmentId, d.localDoc))
     val hasPos = m.hasPositions
 
     // ---- postings: drop deleted postings, remap locals, re-encode --------
-    val postKeyed: org.apache.spark.rdd.RDD[((Int, Int, String), AnyRef)] =
-      idx.postings(spark).as[TermPostings].rdd
-        .map(tp => ((tp.segmentId, 1, tp.term), tp: AnyRef))
-        .union(delRdd.map { case (seg, local) =>
-          ((seg, 0, ""), java.lang.Integer.valueOf(local): AnyRef)
-        })
-    val segPartitioner = new org.apache.spark.Partitioner {
-      def numPartitions: Int = outParts
-      def getPartition(key: Any): Int =
-        math.abs(key.asInstanceOf[(Int, Int, String)]._1 % outParts)
-    }
-    val mergedPost = postKeyed
-      .repartitionAndSortWithinPartitions(segPartitioner)
-      .mapPartitions { it =>
-        var curSeg = Int.MinValue
-        var deleted: Array[Int] = Array.emptyIntArray
-        val delBuf = new graft.analysis.IntBuf(16)
-        it.flatMap { case ((seg, tag, _), payload) =>
-          if (seg != curSeg) { curSeg = seg; delBuf.n = 0; deleted = null }
-          if (tag == 0) {
-            delBuf.add(payload.asInstanceOf[java.lang.Integer].intValue)
-            Iterator.empty
-          } else {
-            if (deleted == null) {
-              deleted = java.util.Arrays.copyOf(delBuf.a, delBuf.n)
-              java.util.Arrays.sort(deleted)
-            }
-            Compaction.rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos).iterator
-          }
-        }
+    Compaction.rewriteWithTombstones[TermPostings](spark,
+      idx.postings(spark).as[TermPostings].rdd.map(tp => ((tp.segmentId, tp.term), tp: AnyRef)),
+      delRdd, outParts) { (payload, deleted) =>
+        Compaction.rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos).iterator
       }
-    spark.createDataset(mergedPost)
       .write.mode("overwrite").parquet(s"$indexDir/postings/gen=$gen")
 
-    // ---- docmeta: drop tombstoned rows, remap docIds (same streaming shape)
-    val dmKeyed: org.apache.spark.rdd.RDD[((Int, Int, String), AnyRef)] =
-      idx.docmeta(spark)
-        .select($"segmentId", $"docId", $"norm", $"sha").as[DocMeta]
-        .rdd.map(d => ((d.segmentId, 1, "%019d".format(d.docId)), d: AnyRef))
-        .union(delRdd.map { case (seg, local) =>
-          ((seg, 0, ""), java.lang.Integer.valueOf(local): AnyRef)
-        })
-    val mergedDm = dmKeyed
-      .repartitionAndSortWithinPartitions(segPartitioner)
-      .mapPartitions { it =>
-        var curSeg = Int.MinValue
-        var deleted: Array[Int] = Array.emptyIntArray
-        val delBuf = new graft.analysis.IntBuf(16)
-        it.flatMap { case ((seg, tag, _), payload) =>
-          if (seg != curSeg) { curSeg = seg; delBuf.n = 0; deleted = null }
-          if (tag == 0) {
-            delBuf.add(payload.asInstanceOf[java.lang.Integer].intValue)
-            Iterator.empty
-          } else {
-            if (deleted == null) {
-              deleted = java.util.Arrays.copyOf(delBuf.a, delBuf.n)
-              java.util.Arrays.sort(deleted)
-            }
-            val d = payload.asInstanceOf[DocMeta]
-            val local = (d.docId - d.segmentId.toLong * segSize).toInt
-            val shift = Compaction.deletedAtOrBelow(deleted, local)
-            if (shift >= 0) // negative = the doc itself is tombstoned
-              Iterator.single(DocMeta(d.segmentId,
-                d.segmentId.toLong * segSize + (local - shift), d.norm, d.sha))
-            else Iterator.empty
-          }
-        }
+    // ---- docmeta: drop tombstoned rows, remap docIds ---------------------
+    Compaction.rewriteWithTombstones[DocMeta](spark,
+      idx.docmeta(spark).select($"segmentId", $"docId", $"norm", $"sha").as[DocMeta]
+        .rdd.map(d => ((d.segmentId, "%019d".format(d.docId)), d: AnyRef)),
+      delRdd, outParts) { (payload, deleted) =>
+        val d = payload.asInstanceOf[DocMeta]
+        val local = (d.docId - d.segmentId.toLong * segSize).toInt
+        val shift = Compaction.deletedAtOrBelow(deleted, local)
+        if (shift >= 0) // negative = the doc itself is tombstoned
+          Iterator.single(DocMeta(d.segmentId,
+            d.segmentId.toLong * segSize + (local - shift), d.norm, d.sha))
+        else Iterator.empty
       }
-    spark.createDataset(mergedDm).write.mode("overwrite").parquet(s"$indexDir/docmeta/gen=$gen")
+      .write.mode("overwrite").parquet(s"$indexDir/docmeta/gen=$gen")
 
     // ---- term vectors (when present): drop tombstoned docs, remap docIds --
     if (m.hasTermVectors) {
-      val tvKeyed: org.apache.spark.rdd.RDD[((Int, Int, String), AnyRef)] =
+      Compaction.rewriteWithTombstones[TermVectorRow](spark,
         TermVectors.readAll(spark, idx).rdd
-          .map(tv => (((tv.docId / segSize).toInt, 1, "%019d".format(tv.docId)), tv: AnyRef))
-          .union(delRdd.map { case (seg, local) =>
-            ((seg, 0, ""), java.lang.Integer.valueOf(local): AnyRef)
-          })
-      val mergedTv = tvKeyed
-        .repartitionAndSortWithinPartitions(segPartitioner)
-        .mapPartitions { it =>
-          var curSeg = Int.MinValue
-          var deleted: Array[Int] = Array.emptyIntArray
-          val delBuf = new graft.analysis.IntBuf(16)
-          it.flatMap { case ((seg, tag, _), payload) =>
-            if (seg != curSeg) { curSeg = seg; delBuf.n = 0; deleted = null }
-            if (tag == 0) {
-              delBuf.add(payload.asInstanceOf[java.lang.Integer].intValue)
-              Iterator.empty
-            } else {
-              if (deleted == null) {
-                deleted = java.util.Arrays.copyOf(delBuf.a, delBuf.n)
-                java.util.Arrays.sort(deleted)
-              }
-              val tv = payload.asInstanceOf[TermVectorRow]
-              val local = (tv.docId - seg.toLong * segSize).toInt
-              val shift = Compaction.deletedAtOrBelow(deleted, local)
-              if (shift >= 0)
-                Iterator.single(tv.copy(docId = seg.toLong * segSize + (local - shift)))
-              else Iterator.empty
-            }
-          }
+          .map(tv => (((tv.docId / segSize).toInt, "%019d".format(tv.docId)), tv: AnyRef)),
+        delRdd, outParts) { (payload, deleted) =>
+          val tv = payload.asInstanceOf[TermVectorRow]
+          val seg = (tv.docId / segSize).toInt
+          val local = (tv.docId - seg.toLong * segSize).toInt
+          val shift = Compaction.deletedAtOrBelow(deleted, local)
+          if (shift >= 0)
+            Iterator.single(tv.copy(docId = seg.toLong * segSize + (local - shift)))
+          else Iterator.empty
         }
-      spark.createDataset(mergedTv).write.mode("overwrite").parquet(s"$indexDir/termvectors/gen=$gen")
+        .write.mode("overwrite").parquet(s"$indexDir/termvectors/gen=$gen")
     }
 
     // ---- recompute per-segment stats from the compacted data -------------
@@ -276,6 +211,55 @@ private[index] object Compaction {
   def deletedAtOrBelow(deleted: Array[Int], local: Int): Int = {
     val i = java.util.Arrays.binarySearch(deleted, local)
     if (i >= 0) -1 else -(i + 1)
+  }
+
+  /** The tombstone-ahead streaming rewrite: `data` rows keyed by
+    * (segmentId, sortKey) shuffle TOGETHER with the tombstones, which sort
+    * FIRST within each segment ((seg, tag, key) composite; tag 0 =
+    * tombstone). The task accumulates a segment's sorted tombstone array,
+    * then applies `rewrite(payload, deleted)` to each data row as it
+    * streams past — memory = |segment tombstones| + one row. Rows come out
+    * (segment, sortKey)-ordered, so parquet written from the result keeps
+    * term-sorted (postings) / docId-sorted (docmeta, TV) files for
+    * pushdown. */
+  def rewriteWithTombstones[T](
+      spark: SparkSession,
+      data: org.apache.spark.rdd.RDD[((Int, String), AnyRef)],
+      dels: org.apache.spark.rdd.RDD[(Int, Int)],
+      outParts: Int)(rewrite: (AnyRef, Array[Int]) => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T],
+      ct: scala.reflect.ClassTag[T]): org.apache.spark.sql.Dataset[T] = {
+    val keyed: org.apache.spark.rdd.RDD[((Int, Int, String), AnyRef)] =
+      data.map { case ((seg, key), p) => ((seg, 1, key), p) }
+        .union(dels.map { case (seg, local) =>
+          ((seg, 0, ""), java.lang.Integer.valueOf(local): AnyRef)
+        })
+    val segPartitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = outParts
+      def getPartition(key: Any): Int =
+        math.abs(key.asInstanceOf[(Int, Int, String)]._1 % outParts)
+    }
+    val out = keyed
+      .repartitionAndSortWithinPartitions(segPartitioner)
+      .mapPartitions { it =>
+        var curSeg = Int.MinValue
+        var deleted: Array[Int] = null
+        val delBuf = new graft.analysis.IntBuf(16)
+        it.flatMap { case ((seg, tag, _), payload) =>
+          if (seg != curSeg) { curSeg = seg; delBuf.n = 0; deleted = null }
+          if (tag == 0) {
+            delBuf.add(payload.asInstanceOf[java.lang.Integer].intValue)
+            Iterator.empty
+          } else {
+            if (deleted == null) {
+              deleted = java.util.Arrays.copyOf(delBuf.a, delBuf.n)
+              java.util.Arrays.sort(deleted)
+            }
+            rewrite(payload, deleted)
+          }
+        }
+      }
+    spark.createDataset(out)
   }
 
   /** Decode a block's prox stream into (flat positions, per-posting starts). */

@@ -137,11 +137,12 @@ object Highlighter {
       .flatMap(r => r.startOffsets.zip(r.endOffsets))
       .sortBy(_._1)
     if (matches.isEmpty) return Snippet(text.take(windowCp), 0)
-    // best window: two-pointer over match starts
+    // best window: two-pointer over match starts (lo never passes hi, so a
+    // single match longer than the window still yields a 1-match window)
     var best = (0, 0) // (count, startIdx)
     var lo = 0
     matches.indices.foreach { hi =>
-      while (matches(hi)._2 - matches(lo)._1 > windowCp) lo += 1
+      while (lo < hi && matches(hi)._2 - matches(lo)._1 > windowCp) lo += 1
       val cnt = hi - lo + 1
       if (cnt > best._1) best = (cnt, lo)
     }

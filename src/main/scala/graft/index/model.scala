@@ -133,8 +133,19 @@ final case class Manifest(
     // whether per-doc term vectors were written alongside
     // (`codecs/simpletext/termvectorswriter.go` role); same append-match
     // rule as hasPositions.
-    hasTermVectors: Boolean = false
+    hasTermVectors: Boolean = false,
+    // on-disk codec version of the posting blocks (the `segments_N` codec
+    // id in the reference): readers REFUSE manifests whose codec they do
+    // not speak (fail closed — decoding v1 FOR docBytes with the v2
+    // monotonic codec would return garbage, not an error). Bump on any
+    // byte-layout change.
+    codecVersion: Int = Manifest.CurrentCodecVersion
 )
+
+object Manifest {
+  /** v2 = MonotonicBlock docIds (+ optional positions stream). */
+  val CurrentCodecVersion: Int = 2
+}
 
 /** One tombstone: a deleted doc addressed segment-locally (the live-docs
   * bitset analogue, applied at query time as a ReqExcl anti-join). */

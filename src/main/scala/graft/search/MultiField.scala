@@ -98,8 +98,11 @@ final class MultiFieldSearcher(val index: MultiFieldIndex) extends Serializable 
     * All subindexes share segment geometry (asserted at build), so the
     * clauses' posting rows cogroup by segmentId: the shuffle moves only
     * |clauses| x |segments| posting rows. Scores are the same blended sum
-    * rounded to 6dp; ranks are identical to [[searchBlended]] (tested).
-    * Falls back to the exhaustive path when a subindex carries tombstones
+    * rounded to 6dp; ranks are identical to [[searchBlended]] (tested) up
+    * to the usual rounded-ranking caveat — docs whose RAW sums differ but
+    * round to the same 6dp value at the k boundary may resolve differently
+    * (the collector keeps top-k by raw score). Falls back to the
+    * exhaustive path when a subindex carries tombstones
     * (live-docs would need the per-field delete cogroup) or a clause is not
     * a plain term.
     */

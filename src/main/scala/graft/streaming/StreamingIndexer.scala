@@ -54,19 +54,10 @@ object StreamingIndexer {
     val base = prev.map(m =>
       (m.segments.map(_.segmentId).max + 1).toLong * m.segmentSize).getOrElse(0L)
     // rank within the batch -> dense ids at the next segment boundary,
-    // DISTRIBUTED: range-partition by the order column, sort within
-    // partitions, then zipWithIndex (partition offsets = one tiny count
-    // job). A Window.orderBy with no partitionBy would pull the whole
-    // micro-batch into ONE task — a burst batch would serialize on (and
-    // could OOM) a single executor.
-    val parts = math.max(1, math.min(batch.rdd.getNumPartitions,
-      spark.sparkContext.defaultParallelism))
-    val sorted = batch.repartitionByRange(parts, col(orderCol)).sortWithinPartitions(orderCol)
-    val schema = sorted.schema.add("__doc_id", org.apache.spark.sql.types.LongType)
-    val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + i))
-    }
-    val withIds = spark.createDataFrame(ranked, schema)
+    // DISTRIBUTED via the shared assignDenseIds (a Window.orderBy with no
+    // partitionBy would pull the whole micro-batch into ONE task — a burst
+    // batch would serialize on, and could OOM, a single executor)
+    val withIds = IndexBuilder.assignDenseIds(spark, batch, Seq(col(orderCol)), base)
     prev match {
       case None =>
         IndexBuilder.build(spark, withIds, "__doc_id", contentCol, indexDir, cfg,

@@ -102,6 +102,19 @@ class ForceMergeSpec extends AnyFunSuite {
     assert(again.manifest.generation == m.generation)
   }
 
+  test("codec gate: a manifest from a different block codec reads as no index (fail closed)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-codecgate").toString
+    IndexBuilder.build(spark, mkDocs(0 until 40).toDF("doc_id", "text"), "doc_id", "text",
+      dir, BuildConfig(numSegments = 1, chunkDocs = 128))
+    val m = IndexIO.readManifest(spark, dir).get
+    assert(m.codecVersion == graft.index.Manifest.CurrentCodecVersion)
+    // simulate an index committed by a build speaking a different codec:
+    // its docBytes would decode as garbage, so the reader must refuse it
+    IndexIO.writeManifest(spark, dir, m.copy(codecVersion = 1))
+    assert(IndexIO.readManifest(spark, dir).isEmpty,
+      "foreign-codec manifest must read as no index")
+  }
+
   test("forceMerge drops a fully-deleted segment from the manifest") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fm-all").toString
     // segment 1 (ids 128..255) gets a unique term; delete it entirely

@@ -65,6 +65,15 @@ class TermVectorsSpec extends AnyFunSuite {
     assert(Highlighter.highlight(text, tv, Set("zzz")).matchCount == 0)
   }
 
+  test("highlighter: a match longer than the window still yields a snippet (no pointer overrun)") {
+    val long = "x" * 300
+    val text = s"prefix $long suffix"
+    val tv = TermVectors.ofDoc(0L, text, Analyzer.standard).toSeq
+    val snip = Highlighter.highlight(text, tv, Set(long), windowCp = 160)
+    assert(snip.matchCount == 1)
+    assert(snip.text.contains("<b>"))
+  }
+
   test("more-like-this: seed selection is deterministic (freq*idf, tie term asc) and seed doc excluded") {
     val s = new IndexSearcher(index)
     val seeds = MoreLikeThis.selectTerms(spark, s, 3L, 4)

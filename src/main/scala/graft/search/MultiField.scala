@@ -108,20 +108,73 @@ final class MultiFieldSearcher(val index: MultiFieldIndex) extends Serializable 
     */
   def searchBlendedWand(spark: SparkSession, clauses: Seq[(String, String, Double)],
                         k: Int): DataFrame = {
-    import spark.implicits._
     if (index.perField.values.exists(_.manifest.deletedCount > 0L))
       return searchBlended(spark, clauses.map { case (f, t, w) => (f, TermQ(t), w) }, k)
-    // per-field stats resolved once on the driver (tiny pushdown jobs)
-    val byField = clauses.groupBy(_._1)
-    val fieldCtx: Map[String, QueryContext] = byField.map { case (f, cs) =>
-      val s = searcher(f)
-      f -> s.queryContext(spark, BoolQ(should = cs.map(c => TermQ(c._2))))
+    val byField = clauses.groupBy(_._1).map { case (f, cs) => f -> cs.map(_._2).toSet }
+    val clausesB = clauses // stable order: the kernel sums in clause order
+    crossFieldTopK(spark, byField, k) { (fieldCtx, post, collector) =>
+      val scorers: Array[Scorer] = clausesB.flatMap { case (f, t, w) =>
+        val ctx = fieldCtx(f)
+        post.get((f, t)).map { tp =>
+          // weight applied OUTSIDE the BM25 op order (score * w), exactly
+          // as the exhaustive path's `col("s") * w` — bit-identical addends
+          val base = new PostingsScorer(new TermReader(tp, ctx.cache),
+            ctx.idf.getOrElse(t, 0.0), ctx.cache, scoring = true)
+          if (w == 1.0) base: Scorer else new ScaledScorer(base, w): Scorer
+        }
+      }.toArray
+      if (scorers.isEmpty) None
+      else if (scorers.length == 1) Some(scorers(0))
+      else Some(new WandScorer(scorers, () => collector.minCompetitive))
+    }
+  }
+
+  /** Pruned cross-field FILTER search — the WAND-family sibling of
+    * [[searchFiltered]]: the scoring term's postings and the filter term's
+    * postings (from ITS field's subindex) form one block-max
+    * [[ConjunctionScorer]] per segment — scoring clause scores, filter
+    * clause only iterates (FILTER semantics), and the collector threshold
+    * skips windows whose block maxima can't compete. Same results as
+    * [[searchFiltered]] (tested), without scoring + shuffling every match
+    * of a hot scoring term. Falls back on tombstoned subindexes.
+    */
+  def searchFilteredWand(spark: SparkSession, field: String, term: String,
+                         filterField: String, filterTerm: String, k: Int): DataFrame = {
+    if (index.perField.values.exists(_.manifest.deletedCount > 0L))
+      return searchFiltered(spark, field, TermQ(term), filterField, TermQ(filterTerm), k)
+    val byField = Map(field -> Set(term)) ++
+      Map(filterField -> (Set(filterTerm) ++ (if (filterField == field) Set(term) else Set.empty)))
+    crossFieldTopK(spark, byField, k) { (fieldCtx, post, collector) =>
+      val ctx = fieldCtx(field)
+      for {
+        tp <- post.get((field, term))
+        ftp <- post.get((filterField, filterTerm))
+      } yield {
+        val scoring = new PostingsScorer(new TermReader(tp, ctx.cache),
+          ctx.idf.getOrElse(term, 0.0), ctx.cache, scoring = true)
+        val filt = new PostingsScorer(new TermReader(ftp, fieldCtx(filterField).cache),
+          0.0, fieldCtx(filterField).cache, scoring = false)
+        new ConjunctionScorer(Array[Scorer](scoring, filt), Array[Scorer](scoring),
+          () => collector.minCompetitive): Scorer
+      }
+    }
+  }
+
+  /** Shared cross-field kernel runner: fetch each field's clause-term
+    * posting rows (one pushed scan per field), cogroup by segment (the
+    * shuffle moves |clauses| x |segments| rows), build one scorer per
+    * segment via `mkScorer`, collect leaf top-ks, merge globally. */
+  private def crossFieldTopK(spark: SparkSession, termsByField: Map[String, Set[String]], k: Int)(
+      mkScorer: (Map[String, QueryContext],
+                 scala.collection.Map[(String, String), graft.index.TermPostings],
+                 TopKCollector) => Option[Scorer]): DataFrame = {
+    import spark.implicits._
+    val fieldCtx: Map[String, QueryContext] = termsByField.map { case (f, ts) =>
+      f -> searcher(f).queryContext(spark, BoolQ(should = ts.toSeq.map(TermQ)))
     }
     val segs = index.perField.head._2.manifest.segments.map(s => s.segmentId -> s).toMap
     val nParts = segs.keys.max + 1
-    // one tagged posting-row RDD per field, filtered to that field's terms
-    val rows = byField.toSeq.map { case (f, cs) =>
-      val terms = cs.map(_._2).toSet
+    val rows = termsByField.toSeq.map { case (f, terms) =>
       index(f).postings(spark)
         .where(col("term").isin(terms.toSeq: _*))
         .as[graft.index.TermPostings]
@@ -131,7 +184,6 @@ final class MultiFieldSearcher(val index: MultiFieldIndex) extends Serializable 
       def numPartitions: Int = nParts
       def getPartition(key: Any): Int = key.asInstanceOf[Int] % nParts
     }
-    val clausesB = clauses // stable order: the kernel sums in clause order
     val perLeaf = rows.partitionBy(partitioner).mapPartitions { it =>
       var segId = -1
       val post = scala.collection.mutable.HashMap.empty[(String, String), graft.index.TermPostings]
@@ -140,24 +192,12 @@ final class MultiFieldSearcher(val index: MultiFieldIndex) extends Serializable 
       else {
         val seg = segs(segId)
         val collector = new TopKCollector(k, seg.docBase, None)
-        val scorers: Array[Scorer] = clausesB.flatMap { case (f, t, w) =>
-          val ctx = fieldCtx(f)
-          post.get((f, t)).map { tp =>
-            // weight applied OUTSIDE the BM25 op order (score * w), exactly
-            // as the exhaustive path's `col("s") * w` — bit-identical addends
-            val base = new PostingsScorer(new TermReader(tp, ctx.cache),
-              ctx.idf.getOrElse(t, 0.0), ctx.cache, scoring = true)
-            if (w == 1.0) base: Scorer else new ScaledScorer(base, w): Scorer
-          }
-        }.toArray
-        if (scorers.isEmpty) Iterator.empty
-        else {
-          val s: Scorer =
-            if (scorers.length == 1) scorers(0)
-            else new WandScorer(scorers, () => collector.minCompetitive)
-          var d = s.nextDoc()
-          while (d != DISI.NO_MORE) { collector.collect(d, s.score()); d = s.nextDoc() }
-          collector.results.iterator.map { case (gid, sc) => ScoredDoc(gid, sc) }
+        mkScorer(fieldCtx, post, collector) match {
+          case None => Iterator.empty
+          case Some(s) =>
+            var d = s.nextDoc()
+            while (d != DISI.NO_MORE) { collector.collect(d, s.score()); d = s.nextDoc() }
+            collector.results.iterator.map { case (gid, sc) => ScoredDoc(gid, sc) }
         }
       }
     }

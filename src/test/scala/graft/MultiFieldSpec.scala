@@ -88,6 +88,22 @@ class MultiFieldSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("cross-field filtered WAND is result-identical to the exhaustive filtered path") {
+    for (k <- Seq(5, 10, 40)) {
+      val exhaustive = mf.searchFiltered(spark, "body", TermQ("def"), "tag", TermQ("cold"), k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pruned = mf.searchFilteredWand(spark, "body", "def", "tag", "cold", k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(pruned == exhaustive, s"k=$k")
+    }
+    // same-field filter degenerates correctly (term AND filterTerm in body)
+    val sameField = mf.searchFilteredWand(spark, "body", "def", "body", "import", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wantSame = mf.searchFiltered(spark, "body", TermQ("def"), "body", TermQ("import"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sameField == wantSame)
+  }
+
   test("cross-field filter: body scores, tag predicate") {
     val got = mf.searchFiltered(spark, "body", TermQ("def"), "tag", TermQ("cold"), 10)
       .collect().map(r => r.getLong(0)).toSet

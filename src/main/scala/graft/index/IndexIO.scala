@@ -124,13 +124,21 @@ object IndexIO {
   def readManifest(spark: SparkSession, indexDir: String): Option[Manifest] = {
     import spark.implicits._
     val dir = manifestPath(indexDir)
-    val target: Option[String] = manifestVersions(spark, dir).lastOption match {
+    def pickTarget(): Option[String] = manifestVersions(spark, dir).lastOption match {
       case Some((_, vp)) => Some(vp.toString)
       case None => if (exists(spark, s"$dir/_SUCCESS")) Some(dir) else None
     }
-    target.flatMap { path =>
+    def readOnce(path: String): Option[Manifest] =
       try spark.read.parquet(path).as[Manifest].collect().headOption
       catch { case scala.util.control.NonFatal(_) => None }
+    pickTarget().flatMap { path =>
+      readOnce(path).orElse {
+        // A concurrent committer may have pruned the version we just listed
+        // (writeManifest keeps only the two newest): re-list ONCE — the new
+        // head version is visible by then — instead of mapping the transient
+        // race straight to "no index" for a committed index.
+        pickTarget().filter(_ != path).flatMap(readOnce)
+      }
     }.filter { m =>
       // codec gate: a manifest written by a different block codec must read
       // as "no index" (fail closed) rather than let MonotonicBlock.decode

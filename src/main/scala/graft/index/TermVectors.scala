@@ -96,7 +96,13 @@ object MoreLikeThis {
 
   /** Top-k docs similar to `docId` (the seed doc itself excluded). Rows
     * ordered by ROUNDED (6dp) score desc then docId — rounding-first keeps
-    * the rank stable across summation orders (ours vs an oracle's). */
+    * the rank stable across summation orders (ours vs an oracle's).
+    *
+    * Seed exclusion is correct for BOTH cases of a k+1 fetch: if the seed is
+    * in the top k+1, filtering leaves exactly the k best non-seed docs; if
+    * it is NOT (other docs repeat its terms more heavily), the fetched k+1
+    * are already all non-seed and their first k are the true top-k
+    * (TermVectorsSpec covers the seed-outside-top-k+1 edge). */
   def search(spark: SparkSession, searcher: graft.search.IndexSearcher,
              docId: Long, maxTerms: Int, k: Int): DataFrame = {
     import spark.implicits._
@@ -106,7 +112,6 @@ object MoreLikeThis {
       if (seeds.isEmpty) Nil
       else {
         val q = BoolQ(should = seeds.map { case (t, _) => TermQ(t) })
-        // k+1 then drop the seed doc (it matches all of its own terms)
         searcher.search(spark, q, k + 1).collect()
           .filter(_.docId != docId)
           .map(h => (h.docId, BigDecimal(h.score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))

@@ -122,8 +122,11 @@ object Ivf {
 
   /** Build the IVF store: vectors written to parquet PARTITIONED BY their
     * centroid assignment — probing prunes whole directories at scan time.
-    * Returns the trained centroids (driver-small; persist them with the
-    * store for reuse).
+    * The trained centroids are PERSISTED beside the partitioned vectors
+    * (`_centroids` parquet — the underscore prefix hides it from Spark's
+    * partition discovery), so a search service reopens the store with
+    * [[load]] instead of re-training or side-channeling the quantizer.
+    * Returns the trained centroids (driver-small).
     */
   def build(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
             dir: String, nCentroids: Int, iters: Int = 3): Array[Array[Double]] = {
@@ -134,7 +137,21 @@ object Ivf {
       .map { case (id, v) => (Ivf.assign(centroids, v), id, v) }
       .toDF("centroid", "vec_id", "v")
       .write.mode("overwrite").partitionBy("centroid").parquet(dir)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids")
     centroids
+  }
+
+  /** Reopen a committed IVF store: read the persisted coarse quantizer back
+    * (cid-ordered). Searches over the reloaded store are identical to
+    * searches over the just-built one (AnnSpec reopen test). */
+  def load(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/_centroids")
+      .select(col("cid"), col("centroid"))
+      .as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
   }
 
   /** Probe the nProbe centroid partitions nearest to the query and return

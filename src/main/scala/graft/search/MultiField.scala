@@ -108,7 +108,12 @@ final class MultiFieldSearcher(val index: MultiFieldIndex) extends Serializable 
     */
   def searchBlendedWand(spark: SparkSession, clauses: Seq[(String, String, Double)],
                         k: Int): DataFrame = {
-    if (index.perField.values.exists(_.manifest.deletedCount > 0L))
+    // ScaledScorer's maxScore bound (inner.maxScore * w) is an upper bound
+    // only for w > 0 — a zero/negative weight would silently corrupt WAND
+    // pruning. Non-positive weights take the exhaustive path, which handles
+    // any weight correctly (it never prunes).
+    if (index.perField.values.exists(_.manifest.deletedCount > 0L) ||
+        clauses.exists(_._3 <= 0.0))
       return searchBlended(spark, clauses.map { case (f, t, w) => (f, TermQ(t), w) }, k)
     val byField = clauses.groupBy(_._1).map { case (f, cs) => f -> cs.map(_._2).toSet }
     val clausesB = clauses // stable order: the kernel sums in clause order

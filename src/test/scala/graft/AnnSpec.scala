@@ -59,6 +59,20 @@ class AnnSpec extends AnyFunSuite {
       s"expected centroid partition pruning in:\n$plan")
   }
 
+  test("IVF store reopens from persisted centroids (load == build, search identical)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-reload").toString
+    val built = Ivf.build(spark, embDf, "vec_id", "embedding", dir, nCentroids = 16)
+    val loaded = Ivf.load(spark, dir)
+    assert(loaded.length == built.length)
+    built.zip(loaded).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    val q = vecs(11)._2
+    val fromBuilt = Ivf.search(spark, dir, built, q, nProbe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromLoaded = Ivf.search(spark, dir, loaded, q, nProbe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromBuilt == fromLoaded)
+  }
+
   test("IVF recall@10 at nProbe=8/16 is high on clustered queries") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
     val centroids = Ivf.build(spark, embDf, "vec_id", "embedding", dir, nCentroids = 16)

@@ -91,6 +91,30 @@ class TermVectorsSpec extends AnyFunSuite {
     assert(res.take(3).forall(_.getLong(0) % 3 == 0))
   }
 
+  test("more-like-this: correct when the seed doc ranks OUTSIDE the fetched top-k+1") {
+    // every other doc repeats the seed's terms with much higher tf, so the
+    // seed (tf=1 each) ranks below all of them; the k+1 fetch then contains
+    // no seed — its first k are already the true non-seed top-k
+    val lowDocs = (0L until 12L).map { i =>
+      (i, if (i == 0L) "foo bar" else "foo foo foo foo bar bar bar bar")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-tv-mlt-edge").toString
+    val idx = IndexBuilder.build(spark, lowDocs.toDF("doc_id", "text"), "doc_id", "text", dir,
+      BuildConfig(numSegments = 1, chunkDocs = 128, storePositions = true, storeTermVectors = true))
+    val s = new IndexSearcher(idx)
+    val k = 3
+    val got = MoreLikeThis.search(spark, s, 0L, 2, k).collect().map(_.getLong(0)).toSeq
+    assert(got.size == k && !got.contains(0L))
+    // ground truth: full disjunction ranking with the seed filtered out
+    val all = s.search(spark, BoolQ(should = Seq(TermQ("foo"), TermQ("bar"))), 12)
+      .collect().filter(_.docId != 0L).map(_.docId).take(k).toSeq
+    assert(got == all)
+    // sanity: the seed indeed ranked below the k+1 fetched hits
+    val top = s.search(spark, BoolQ(should = Seq(TermQ("foo"), TermQ("bar"))), k + 1)
+      .collect().map(_.docId)
+    assert(!top.contains(0L))
+  }
+
   test("forceMerge carries term vectors through with remapped docIds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tv-fm").toString
     IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir, cfg)

@@ -423,6 +423,10 @@ object SparkEntry {
     // confirm (docs-level conjunction approximates, prox intersect confirms);
     // BM25 weight = sum of term idfs, freq = phrase occurrences
     "q50_phrase" -> topk(PhraseQ(Seq("table", "hash")), 10),
+    // sloppy phrase (slop 2): per-anchor minimal-window matching over the
+    // positions stream (semantics documented on PhraseQ; reference reserves
+    // spans, core/search/spans/spans.go); freq = sum of 1/(1+width)
+    "q59_sloppy_phrase" -> topk(PhraseQ(Seq("table", "hash"), 2), 10),
     // forceMerge lifecycle (MergePolicy/SegmentMerger): delete-by-term, then
     // compact all generations into one — tombstones reclaimed, docIDs
     // remapped dense (Lucene merge semantics), statistics CORRECTED to the
@@ -935,6 +939,35 @@ object SparkEntry {
            |  SELECT a.doc_id, count(*)::BIGINT AS freq
            |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
            |  WHERE a.term = 'table' AND b.term = 'hash' GROUP BY 1
+           |), wsum AS (
+           |  SELECT sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))) AS w
+           |  FROM df CROSS JOIN st WHERE df.term IN ('table', 'hash')
+           |), hits AS (
+           |  SELECT pf.doc_id,
+           |    wsum.w - wsum.w / (1.0 + pf.freq
+           |      * (1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len % 256) / st.avgdl)))) AS s
+           |  FROM pf JOIN dl USING (doc_id) CROSS JOIN wsum CROSS JOIN st
+           |)
+           |${top(10)}""".stripMargin,
+    // sloppy phrase, slop 2: anchors = positions of the FIRST term; per
+    // anchor the minimal window |a.p - (b.p - 1)| over the second term's
+    // positions; freq = sum of 1/(1+width) over widths <= slop; weight =
+    // sum of the two idfs (the 2-term closed form of the documented
+    // minimal-window semantics — SQL-exact, subscripts are 1-based but
+    // only differences enter)
+    "q59_sloppy_phrase" ->
+      raw"""$base, tl AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+           |  FROM documents
+           |), pos AS (
+           |  SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS p FROM tl
+           |), anch AS (
+           |  SELECT a.doc_id, a.p AS p0, min(abs(a.p - (b.p - 1))) AS mw
+           |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+           |  WHERE a.term = 'table' AND b.term = 'hash'
+           |  GROUP BY a.doc_id, a.p
+           |), pf AS (
+           |  SELECT doc_id, sum(1.0 / (1 + mw)) AS freq FROM anch WHERE mw <= 2 GROUP BY 1
            |), wsum AS (
            |  SELECT sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))) AS w
            |  FROM df CROSS JOIN st WHERE df.term IN ('table', 'hash')

@@ -48,4 +48,9 @@ object Bm25 {
     */
   @inline def score(weight: Double, freq: Int, normByte: Int, cache: Array[Double]): Double =
     weight - weight / (1.0 + freq.toDouble * cache(normByte))
+
+  /** Fractional-freq variant (sloppy-phrase freq is a sum of 1/(1+width)
+    * increments). Bit-identical to [[score]] for whole freqs. */
+  @inline def scoreF(weight: Double, freq: Double, normByte: Int, cache: Array[Double]): Double =
+    weight - weight / (1.0 + freq * cache(normByte))
 }

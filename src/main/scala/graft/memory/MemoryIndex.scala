@@ -82,15 +82,22 @@ final class MemoryIndex(analyzer: Analyzer = Analyzer.standard) {
     case DisjMaxQ(qs, tb) =>
       val ss = qs.flatMap(eval(_, idf, cache, boost, scoring))
       if (ss.isEmpty) None else Some(ss.max + tb * (ss.sum - ss.max))
-    case PhraseQ(ts) =>
-      // exact phrase over the (single) doc's emitted-token sequence; scoring
-      // per Lucene PhraseQuery: weight = boost * sum idf, freq = occurrences
-      val occ = toks.indices.count(i =>
-        i + ts.size <= toks.size && ts.indices.forall(j => toks(i + j) == ts(j)))
-      if (occ == 0) None
+    case PhraseQ(ts, slop) =>
+      // phrase over the (single) doc's emitted-token sequence; scoring per
+      // Lucene PhraseQuery: weight = boost * sum idf, freq = occurrences
+      // (sloppy freq via the SAME SloppyMatch kernel as the distributed
+      // scorer — in-JVM engine agreement)
+      val positions = ts.map(t => toks.indices.filter(i => toks(i) == t).toArray).toArray
+      val occ: Double =
+        if (positions.exists(_.isEmpty)) 0.0
+        else if (slop == 0)
+          toks.indices.count(i =>
+            i + ts.size <= toks.size && ts.indices.forall(j => toks(i + j) == ts(j))).toDouble
+        else SloppyMatch.sloppyFreq(positions, slop)
+      if (occ == 0.0) None
       else {
         val w = boost * ts.map(t => idf.getOrElse(t, 0.0)).sum
-        Some(if (scoring) Bm25.score(w, occ, len & 0xFF, cache) else 0.0)
+        Some(if (scoring) Bm25.scoreF(w, occ, len & 0xFF, cache) else 0.0)
       }
     case _: PrefixQ | _: RegexpQ | _: TermRangeQ =>
       throw new IllegalStateException("expand() must run first")

@@ -71,7 +71,7 @@ object ScorerBuilder {
       if (subs.isEmpty) None
       else if (subs.length == 1) Some(subs(0))
       else Some(new DisjunctionMaxScorer(subs, tb))
-    case PhraseQ(ts) =>
+    case PhraseQ(ts, slop) =>
       // every phrase term must have postings in this segment (conjunction);
       // weight = boost * sum of the terms' idfs (Lucene PhraseQuery+BM25)
       val readers = ts.map(postings.get)
@@ -79,7 +79,7 @@ object ScorerBuilder {
       else {
         val subs = readers.map(r => new PostingsScorer(r.get, 0.0, ctx.cache, scoring = true)).toArray
         val w = boost * ts.map(t => ctx.idf.getOrElse(t, 0.0)).sum
-        Some(new PhraseScorer(subs, w, ctx.cache, scoring))
+        Some(new PhraseScorer(subs, w, ctx.cache, scoring, slop))
       }
     case _: PrefixQ | _: RegexpQ | _: TermRangeQ =>
       throw new IllegalStateException("multi-term queries must be rewritten to MultiTermQ before scoring")
@@ -265,7 +265,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
   }
 
   private def hasPhrase(q: Query): Boolean = q match {
-    case PhraseQ(ts) => ts.size >= 2
+    case PhraseQ(ts, _) => ts.size >= 2
     case BoolQ(m, s, f, n, _) => (m ++ s ++ f ++ n).exists(hasPhrase)
     case BoostQ(s, _) => hasPhrase(s)
     case ConstQ(s, _) => hasPhrase(s)

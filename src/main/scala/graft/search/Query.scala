@@ -21,7 +21,7 @@ sealed trait Query {
     case ConstQ(q, _)        => q.terms
     case TermInSetQ(ts)      => ts
     case DisjMaxQ(qs, _)     => qs.flatMap(_.terms).toSet
-    case PhraseQ(ts)         => ts.toSet
+    case PhraseQ(ts, _)      => ts.toSet
     case _                   => Set.empty
   }
 
@@ -66,15 +66,31 @@ final case class RegexpQ(pattern: String) extends Query
   * constant score. `None` bound = open. */
 final case class TermRangeQ(lo: Option[String], hi: Option[String],
                             includeLo: Boolean = true, includeHi: Boolean = true) extends Query
-/** Exact phrase (slop 0): `terms(i)` must occur at consecutive positions.
-  * Requires a positions-enabled index (BuildConfig.storePositions; the
-  * reference stores the prox stream per IndexOptions
-  * DOCS_AND_FREQS_AND_POSITIONS, `core/document/indexoptions.go:3-29`,
+/** Phrase query. slop 0 = exact: `terms(i)` must occur at consecutive
+  * positions. Requires a positions-enabled index
+  * (BuildConfig.storePositions; the reference stores the prox stream per
+  * IndexOptions DOCS_AND_FREQS_AND_POSITIONS,
+  * `core/document/indexoptions.go:3-29`,
   * `core/index/freqproxtermswriterperfield.go:96-122`). Lucene PhraseQuery
   * scoring: weight = boost * SUM of the terms' idfs, freq = number of
   * phrase occurrences in the doc. Evaluated two-phase: the docs-level
-  * conjunction approximates, the positions check confirms. */
-final case class PhraseQ(phraseTerms: Seq[String]) extends Query
+  * conjunction approximates, the positions check confirms.
+  *
+  * slop > 0 = sloppy phrase. The reference reserves the spans surface
+  * without implementing it (`core/search/spans/spans.go`), so the
+  * enumeration rule is OUR spec (documented, oracle-replicable, reducing
+  * to the exact semantics at slop 0): with adjusted positions
+  * `adj_i = pos_i - i`, each occurrence p0 of the FIRST term anchors at
+  * most one match whose width is the MINIMUM over choices x_i of
+  * `max(adj values, p0) - min(adj values, p0)`; the anchor matches when
+  * that minimal width is <= slop, and contributes Lucene's sloppy-freq
+  * increment `1 / (1 + width)` (SloppyPhraseScorer's 1/(1+matchLength)
+  * weighting with a deterministic per-anchor minimal-width enumeration in
+  * place of Lucene's greedy queue — Lucene 8.11's exact enumeration order
+  * is tied to its PhrasePositions machinery and is not part of the
+  * reference's surface). At slop 0 the only admissible width is 0, so
+  * freq = exact phrase count. */
+final case class PhraseQ(phraseTerms: Seq[String], slop: Int = 0) extends Query
 
 /** A term-dictionary predicate that travels WITH the query to the executors
   * instead of being expanded on the driver. Each variant has two faces:
@@ -202,8 +218,8 @@ object Query {
       else if (subs.size == 1) subs.head
       else DisjMaxQ(subs, tb)
     case TermInSetQ(ts) if ts.isEmpty => MatchNoneQ
-    case PhraseQ(ts) if ts.isEmpty => MatchNoneQ
-    case PhraseQ(ts) if ts.size == 1 => TermQ(ts.head) // Lucene 1-term phrase == TermQuery
+    case PhraseQ(ts, _) if ts.isEmpty => MatchNoneQ
+    case PhraseQ(ts, _) if ts.size == 1 => TermQ(ts.head) // Lucene 1-term phrase == TermQuery
     case b: BoolQ => rewriteBool(b)
     case other => other
   }

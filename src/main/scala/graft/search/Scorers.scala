@@ -261,32 +261,122 @@ final class PostingsScorer(
     if (scoring) Bm25.score(weight, freqs(i), norms(i) & 0xFF, cache) else 0.0
 }
 
-/** Exact-phrase scorer (slop 0) — the PhraseQuery/ExactPhraseMatcher shape
-  * Lucene pairs with the prox stream the reference stores
+/** Per-anchor minimal-window computation for sloppy phrases — the
+  * deterministic enumeration rule documented on [[PhraseQ]] (the reference
+  * reserves the spans surface without implementing it,
+  * `core/search/spans/spans.go`, so the rule is our spec). Shared by the
+  * distributed [[PhraseScorer]] and the in-heap
+  * [[graft.memory.MemoryIndex]] so the two engines agree bit-for-bit.
+  */
+object SloppyMatch {
+
+  /** Minimal width of a window containing the fixed anchor `p0` and one
+    * value from each ascending array in `adjs` (the other terms' ADJUSTED
+    * positions, pos - termIndex). Int.MaxValue when some array is empty.
+    *
+    * The optimum has threshold form: if A is the largest chosen
+    * above-anchor deviation, every list whose closest-above deviation is
+    * <= A may take it (never widens the window), the rest are forced below
+    * — so scanning A over the <= n distinct closest-above deviations (plus
+    * 0) and charging max(chosen above) + max(forced below) visits the
+    * optimal assignment. O(n^2) with n = phrase length - 1.
+    */
+  def minWidthAt(p0: Int, adjs: Array[Array[Int]]): Int = {
+    val n = adjs.length
+    val below = new Array[Int](n) // deviation to closest adj <= p0 (MaxValue = none)
+    val above = new Array[Int](n) // deviation to closest adj >= p0
+    var i = 0
+    while (i < n) {
+      val a = adjs(i)
+      var lo = 0
+      var hi = a.length
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (a(mid) < p0) lo = mid + 1 else hi = mid }
+      below(i) = if (lo > 0) p0 - a(lo - 1) else Int.MaxValue
+      above(i) = if (lo < a.length) a(lo) - p0 else Int.MaxValue
+      i += 1
+    }
+    var best = Int.MaxValue
+    var c = -1 // candidate index into `above`; -1 encodes A = 0 (anchor only)
+    while (c < n) {
+      val bound = if (c < 0) 0 else above(c)
+      if (bound != Int.MaxValue) {
+        var maxAbove = 0
+        var maxBelow = 0
+        var feasible = true
+        var j = 0
+        while (j < n && feasible) {
+          if (above(j) <= bound) { if (above(j) > maxAbove) maxAbove = above(j) }
+          else if (below(j) == Int.MaxValue) feasible = false
+          else if (below(j) > maxBelow) maxBelow = below(j)
+          j += 1
+        }
+        if (feasible && maxAbove + maxBelow < best) best = maxAbove + maxBelow
+      }
+      c += 1
+    }
+    best
+  }
+
+  /** Sloppy freq of one doc: positions per phrase term (ascending), slop.
+    * freq = sum over term-0 anchors with minimal width w <= slop of
+    * 1/(1+w); 0.0 = no match. Exactly the exact-phrase count at slop 0. */
+  def sloppyFreq(positions: Array[Array[Int]], slop: Int): Double = {
+    val adjs = new Array[Array[Int]](positions.length - 1)
+    var i = 1
+    while (i < positions.length) {
+      val src = positions(i)
+      val a = new Array[Int](src.length)
+      var j = 0
+      while (j < src.length) { a(j) = src(j) - i; j += 1 }
+      adjs(i - 1) = a
+      i += 1
+    }
+    var freq = 0.0
+    val anchors = positions(0)
+    var k = 0
+    while (k < anchors.length) {
+      val w = minWidthAt(anchors(k), adjs)
+      if (w <= slop) freq += 1.0 / (1.0 + w)
+      k += 1
+    }
+    freq
+  }
+}
+
+/** Phrase scorer — the PhraseQuery/ExactPhraseMatcher shape Lucene pairs
+  * with the prox stream the reference stores
   * (`core/index/freqproxtermswriterperfield.go:96-122`; the two-phase
   * iterator contract of SURVEY §2.4): the APPROXIMATION is the docs-level
   * leapfrog conjunction of the terms' postings (cheapest-first), and the
-  * CONFIRMATION decodes positions only for docs where all terms co-occur,
-  * counting occurrences where term i sits at position p+i.
+  * CONFIRMATION decodes positions only for docs where all terms co-occur.
+  * slop 0 counts occurrences where term i sits at position p+i; slop > 0
+  * applies [[SloppyMatch]] (semantics documented on [[PhraseQ]]).
   *
   * Scoring (Lucene PhraseQuery + BM25Similarity): weight = boost * sum of
-  * term idfs; freq = phrase occurrence count; norm = the doc's field length
-  * (identical across the terms' postings of one doc).
+  * term idfs; freq = phrase occurrence count (fractional sloppy-freq when
+  * slop > 0); norm = the doc's field length (identical across the terms'
+  * postings of one doc).
   */
 final class PhraseScorer(terms: Array[PostingsScorer], weight: Double,
-                         cache: Array[Double], scoring: Boolean) extends Scorer {
+                         cache: Array[Double], scoring: Boolean,
+                         slop: Int = 0) extends Scorer {
   require(terms.length >= 2, "phrase needs >= 2 terms (1-term phrases normalize to TermQ)")
   private val byCost = terms.clone().sortBy(_.cost) // lead = rarest term
   private var cur = -1
-  private var curFreq = 0
+  private var curFreq = 0.0
+  // slop 0: phraseFreq <= min term freq and g is monotone in freq, so every
+  // term's maxG bounds g(phraseFreq, norm) — the min over terms is tightest.
+  // slop > 0: each term-0 occurrence anchors at most one match contributing
+  // <= 1, so sloppyFreq <= freq(term 0) and only term 0's maxG is a bound
+  // (other terms' freqs can be exceeded: one rare occurrence can serve
+  // many anchors).
+  lazy val maxScore: Double =
+    if (!scoring) 0.0
+    else if (slop == 0) TermReader.bound(weight, terms.iterator.map(_.reader.maxG).min)
+    else TermReader.bound(weight, terms(0).reader.maxG)
 
   def docId: Int = cur
   def cost: Long = byCost(0).cost
-  // phraseFreq <= min term freq and g is monotone in freq, so every term's
-  // maxG bounds g(phraseFreq, norm); the min over terms is the tightest
-  lazy val maxScore: Double =
-    if (!scoring) 0.0
-    else TermReader.bound(weight, terms.iterator.map(_.reader.maxG).min)
 
   /** Count positions where terms(0)@p, terms(1)@p+1, ... (all ascending
     * arrays; k-way gallop with primitive cursors, no allocation). */
@@ -342,13 +432,27 @@ final class PhraseScorer(terms: Array[PostingsScorer], weight: Double,
         }
       }
       if (target == DISI.NO_MORE) { cur = target; return cur }
-      // confirmation: positions intersect
-      val f = phraseFreqAt()
+      // confirmation: positions intersect (exact) / window within slop
+      val f = if (slop == 0) phraseFreqAt().toDouble else sloppyFreqAt()
       if (f > 0) { cur = target; curFreq = f; return cur }
       target = byCost(0).advance(target + 1)
     }
     cur = target
     cur
+  }
+
+  /** Sloppy confirmation of the current doc: copy each term's position run
+    * and apply the shared [[SloppyMatch]] kernel (runs only on docs where
+    * the docs-level conjunction already agreed). */
+  private def sloppyFreqAt(): Double = {
+    val pos = new Array[Array[Int]](terms.length)
+    var t = 0
+    while (t < terms.length) {
+      val (flat, lo, hi) = terms(t).currentPositions
+      pos(t) = java.util.Arrays.copyOfRange(flat, lo, hi)
+      t += 1
+    }
+    SloppyMatch.sloppyFreq(pos, slop)
   }
 
   def nextDoc(): Int = {
@@ -362,7 +466,7 @@ final class PhraseScorer(terms: Array[PostingsScorer], weight: Double,
   }
 
   def score(): Double =
-    if (scoring) Bm25.score(weight, curFreq, terms(0).normByte, cache) else 0.0
+    if (scoring) Bm25.scoreF(weight, curFreq, terms(0).normByte, cache) else 0.0
 }
 
 /** MatchAllDocs over a segment's dense local docId range

@@ -107,6 +107,104 @@ class PhraseSpec extends AnyFunSuite {
     assert(three.map(_.docId).toSeq == oracleTopK(Seq("red", "pad", "fox"), 400).map(_._1))
   }
 
+  /** Brute-force per-anchor minimal width: enumerate EVERY tuple (one
+    * position per remaining term) — the independent oracle for
+    * SloppyMatch's threshold-form optimization. */
+  private def bruteSloppyFreq(ts: Vector[String], phrase: Seq[String], slop: Int): Double = {
+    val adj = phrase.zipWithIndex.map { case (p, i) =>
+      ts.indices.filter(j => ts(j) == p).map(_ - i).toArray
+    }
+    if (adj.exists(_.isEmpty)) return 0.0
+    def rec(i: Int, mx: Int, mn: Int): Int =
+      if (i == adj.size) mx - mn
+      else adj(i).map(x => rec(i + 1, math.max(mx, x), math.min(mn, x))).min
+    var freq = 0.0
+    adj(0).foreach { p0 =>
+      val w = rec(1, p0, p0)
+      if (w <= slop) freq += 1.0 / (1.0 + w)
+    }
+    freq
+  }
+
+  test("SloppyMatch minimal width equals all-tuples brute force (randomized)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val nLists = 1 + rnd.nextInt(3)
+      val adjs = Array.fill(nLists)(
+        Array.fill(1 + rnd.nextInt(5))(rnd.nextInt(30)).distinct.sorted)
+      val p0 = rnd.nextInt(30)
+      def rec(i: Int, mx: Int, mn: Int): Int =
+        if (i == nLists) mx - mn
+        else adjs(i).map(x => rec(i + 1, math.max(mx, x), math.min(mn, x))).min
+      assert(SloppyMatch.minWidthAt(p0, adjs) == rec(0, p0, p0),
+        s"p0=$p0 adjs=${adjs.map(_.mkString("[", ",", "]")).mkString}")
+    }
+  }
+
+  test("sloppy freq at slop 0 equals the exact phrase count") {
+    val a = Analyzer.standard
+    docs.take(60).foreach { case (_, text) =>
+      val ts = a.terms(text)
+      val phrase = Seq("red", "fox")
+      val exact = ts.indices.count(i =>
+        i + phrase.size <= ts.size && phrase.indices.forall(j => ts(i + j) == phrase(j)))
+      assert(bruteSloppyFreq(ts, phrase, 0) == exact.toDouble)
+      val pos = phrase.map(p => ts.indices.filter(i => ts(i) == p).toArray).toArray
+      if (pos.forall(_.nonEmpty))
+        assert(SloppyMatch.sloppyFreq(pos, 0) == exact.toDouble)
+    }
+  }
+
+  /** Exhaustive sloppy oracle over the corpus (brute-force widths). */
+  private def oracleSloppyTopK(phrase: Seq[String], slop: Int, k: Int): Seq[(Long, Double)] = {
+    val a = Analyzer.standard
+    val toks = docs.map { case (id, t) => id -> a.terms(t) }.toMap
+    val n = index.stats.fieldDocCount
+    val df = phrase.map(p => p -> toks.values.count(_.contains(p)).toLong).toMap
+    val w = phrase.map(p => Bm25.idf(df(p), n)).sum
+    val cache = Bm25.buildCache(index.stats.avgdl)
+    docs.flatMap { case (id, _) =>
+      val ts = toks(id)
+      val f = bruteSloppyFreq(ts, phrase, slop)
+      if (f == 0.0) None else Some(id -> Bm25.scoreF(w, f, ts.size & 0xFF, cache))
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  test("sloppy phrase top-k matches the brute-force oracle; reversal costs width 2") {
+    for (slop <- Seq(1, 2, 3)) {
+      val got = searcher.search(spark, PhraseQ(Seq("red", "fox"), slop), 20).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      assert(got == oracleSloppyTopK(Seq("red", "fox"), slop, 20), s"slop=$slop")
+    }
+    // "red pad fox": the gapped docs (i%4==3) match at slop >= 1, not at 0
+    val gap1 = searcher.search(spark, PhraseQ(Seq("red", "fox"), 1), 400).collect().map(_.docId).toSet
+    assert(docs.filter(_._1 % 4 == 3).map(_._1).forall(gap1.contains))
+    // a PURE transposition ("fox red" queried as phrase (red, fox)) costs
+    // width 2 — Lucene's transposition cost: matches at slop 2, not slop 1
+    val mi = new graft.memory.MemoryIndex().addField("fox red")
+    assert(mi.searchOpt(PhraseQ(Seq("red", "fox"), 1)).isEmpty)
+    assert(mi.searchOpt(PhraseQ(Seq("red", "fox"), 2)).isDefined)
+  }
+
+  test("sloppy phrase agrees with MemoryIndex on single docs (shared kernel + scoring path)") {
+    docs.take(24).foreach { case (_, text) =>
+      val mi = new graft.memory.MemoryIndex().addField(text)
+      val a = Analyzer.standard
+      val ts = a.terms(text)
+      for (slop <- Seq(0, 1, 2)) {
+        val f = bruteSloppyFreq(ts, Seq("red", "fox"), slop)
+        val got = mi.searchOpt(PhraseQ(Seq("red", "fox"), slop))
+        if (f == 0.0) assert(got.isEmpty)
+        else {
+          val n = 1L
+          val w = Bm25.idf(1L, n) * 2
+          val cache = Bm25.buildCache(ts.size.toDouble)
+          assert(got.contains(Bm25.scoreF(w, f, ts.size & 0xFF, cache)))
+        }
+      }
+    }
+  }
+
   test("phrase composes inside BooleanQuery (MUST phrase + MUST_NOT term)") {
     val q = BoolQ(must = Seq(PhraseQ(Seq("red", "fox"))), mustNot = Seq(TermQ("tail0")))
     val got = searcher.search(spark, q, 10).collect()

@@ -37,16 +37,17 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f5-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f6-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         // small chunkDocs so even the sf-scale tables split into several
         // segments (segSize rounds up to a chunk multiple) — the verify
         // path must exercise the multi-segment merge + MergeTopDocs.
-        // Positions + term vectors stored so the same index serves phrase
-        // queries (q50) and TV/MLT (q54/q55).
+        // Positions + term vectors + postings offsets stored so the same
+        // index serves phrase queries (q50/q59), TV/MLT (q54/q55), and
+        // postings-based highlighting (q58).
         val idx = IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
           BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true,
-            storeTermVectors = true),
+            storeTermVectors = true, storeOffsets = true),
           inputPath = docsPath)
         new IndexSearcher(idx)
       })
@@ -64,7 +65,7 @@ object SparkEntry {
     mfCached.synchronized {
       mfCached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f5-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f6-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         val idx = MultiFieldIndex.buildOrLoad(spark, docs, "doc_id",
           Seq("text", "lang", "source"), indexDir,
@@ -81,7 +82,7 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(s"$sfDir#del", {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f5-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f6-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
           BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = docsPath)
@@ -347,7 +348,7 @@ object SparkEntry {
     // build; certified via the per-row sha invariant at the new ids
     "q56_sorted_index" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f5-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f6-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       val docs = spark.read.parquet(docsPath)
       val idx = IndexBuilder.buildSorted(spark, docs,
         Seq(col("n_chars").desc, col("doc_id").asc), "text", dir,
@@ -388,7 +389,7 @@ object SparkEntry {
     "q45_stream_stats" -> ((spark: SparkSession, sfDir: String) => {
       import spark.implicits._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f5-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f6-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
       val cfg = BuildConfig(numSegments = 2, chunkDocs = 128)
       graft.streaming.StreamingIndexer.indexBatch(spark,
         docs.where(col("doc_id") < 250), "doc_id", "text", dir, cfg, batchId = 0L)
@@ -427,6 +428,20 @@ object SparkEntry {
     // positions stream (semantics documented on PhraseQ; reference reserves
     // spans, core/search/spans/spans.go); freq = sum of 1/(1+width)
     "q59_sloppy_phrase" -> topk(PhraseQ(Seq("table", "hash"), 2), 10),
+    // postings-offsets stream (IndexOptions ..._AND_OFFSETS,
+    // indexoptions.go:3-29): per (doc, term) occurrence count + the first/
+    // last occurrence's code-point offsets, read from the postings alone
+    // (term-pruned scan; no term-vectors copy involved)
+    "q58_offsets" -> ((spark: SparkSession, sfDir: String) =>
+      graft.index.Highlighter.offsetsFromPostings(spark, index(spark, sfDir),
+          Set("table", "hash", "spark"), _ < 20L)
+        .select(col("docId").as("doc_id"), col("term"),
+          col("freq").cast("long").as("freq"),
+          element_at(col("startOffsets"), 1).cast("long").as("first_start"),
+          element_at(col("endOffsets"), 1).cast("long").as("first_end"),
+          element_at(col("startOffsets"), size(col("startOffsets"))).cast("long").as("last_start"),
+          element_at(col("endOffsets"), size(col("endOffsets"))).cast("long").as("last_end"))
+        .orderBy("doc_id", "term")),
     // forceMerge lifecycle (MergePolicy/SegmentMerger): delete-by-term, then
     // compact all generations into one — tombstones reclaimed, docIDs
     // remapped dense (Lucene merge semantics), statistics CORRECTED to the
@@ -435,7 +450,7 @@ object SparkEntry {
     // compacted docId asc, which the oracle reproduces as live-doc order.
     "q53_force_merge" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f5-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f6-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       // a committed COMPACTED state (gen > 1, minGen == generation, no
       // tombstones) is this query's end state — reuse it; buildOrLoad's
       // fingerprint can't (forceMerge rewrites corpusSha and docCount)
@@ -949,6 +964,26 @@ object SparkEntry {
            |  FROM pf JOIN dl USING (doc_id) CROSS JOIN wsum CROSS JOIN st
            |)
            |${top(10)}""".stripMargin,
+    // offsets: the text is single-space-separated ASCII (verified per sf),
+    // so token i's code-point start = sum of prior token lengths + (i-1)
+    // separators; first/last extents come from min/max since starts and
+    // ends are both strictly ascending in i
+    "q58_offsets" ->
+      """WITH tl AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 20
+        |), tk AS (
+        |  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM tl
+        |), tok AS (
+        |  SELECT doc_id, lower(t) AS term, i, length(t) AS len,
+        |    coalesce(sum(length(t)) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (i - 1) AS strt
+        |  FROM tk WHERE t <> ''
+        |)
+        |SELECT doc_id, term, count(*)::BIGINT AS freq,
+        |  min(strt)::BIGINT AS first_start, min(strt + len)::BIGINT AS first_end,
+        |  max(strt)::BIGINT AS last_start, max(strt + len)::BIGINT AS last_end
+        |FROM tok WHERE term IN ('table', 'hash', 'spark')
+        |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
     // sloppy phrase, slop 2: anchors = positions of the FIRST term; per
     // anchor the minimal window |a.p - (b.p - 1)| over the second term's
     // positions; freq = sum of 1/(1+width) over widths <= slop; weight =

@@ -182,6 +182,57 @@ final class Analyzer(val stopSet: Set[String] = Set.empty) extends Serializable 
     if (inTok) flush()
     (m, count)
   }
+
+  /** As [[termPositionCounts]] but ALSO collecting each occurrence's
+    * code-point offsets — the IndexOptions ..._AND_OFFSETS path
+    * (`core/document/indexoptions.go:3-29`; offset deltas in the postings
+    * stream per `core/index/freqproxtermswriterperfield.go:96-122`).
+    * Offsets match [[tokenize]]'s (Go rune counting). Same streaming
+    * discipline; `off` holds interleaved (start, end) per occurrence,
+    * aligned with `pos`.
+    */
+  def termPositionOffsetCounts(text: String,
+                               intern: TermIntern): (java.util.HashMap[String, PosOffBuf], Int) = {
+    val m = new java.util.HashMap[String, PosOffBuf]()
+    if (text == null || text.isEmpty) return (m, 0)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    var cpIndex = 0
+    var tokStart = -1
+    var count = 0
+    val n = text.length
+    @inline def flush(endCp: Int): Unit = {
+      val term = if (intern == null) sb.toString else intern.intern(sb)
+      if (!stopSet.contains(term)) {
+        var b = m.get(term)
+        if (b == null) { b = new PosOffBuf; m.put(term, b) }
+        b.pos.add(count)
+        b.off.add(tokStart)
+        b.off.add(endCp)
+        count += 1
+      }
+    }
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (GoWhitespace.isSpace(cp)) {
+        if (tokStart >= 0) { flush(cpIndex); sb.setLength(0); tokStart = -1 }
+      } else {
+        if (tokStart < 0) tokStart = cpIndex
+        sb.appendCodePoint(lowerCp(cp))
+      }
+      i += Character.charCount(cp)
+      cpIndex += 1
+    }
+    if (tokStart >= 0) flush(cpIndex)
+    (m, count)
+  }
+}
+
+/** Per-term buffer of the offsets-enabled invert path: ascending positions
+  * plus interleaved (start, end) code-point offsets per occurrence. */
+final class PosOffBuf {
+  val pos = new IntBuf(4)
+  val off = new IntBuf(8)
 }
 
 /** Growable primitive int buffer (no boxing; build-path hot). */

@@ -64,6 +64,7 @@ object CheckIndex {
 
     // ---- 2. posting-list structural invariants -------------------------
     val hasPositions = manifest.hasPositions
+    val hasOffsets = manifest.hasOffsets
     val postingErrs = idx.postings(spark).as[TermPostings]
       .mapPartitions { it =>
         var errs = 0L
@@ -102,6 +103,32 @@ object CheckIndex {
                   i += 1
                 }
                 if (bad || p != b.posBytes.length) errs += 1
+              }
+            }
+            // offsets stream (when declared): per occurrence a start delta
+            // (strictly ascending after the first) + length >= 1; fully
+            // consumed at the end
+            if (hasOffsets) {
+              if (b.offBytes == null) errs += 1
+              else {
+                var p = 0
+                var i = 0
+                var bad = false
+                while (i < freqs.length && !bad) {
+                  var k = 0
+                  while (k < freqs(i).toInt && !bad) {
+                    try {
+                      val (ds, p1) = graft.codec.Varint.readUvarint(b.offBytes, p)
+                      val (len, p2) = graft.codec.Varint.readUvarint(b.offBytes, p1)
+                      if (k > 0 && ds == 0L) bad = true // equal start offsets
+                      if (len == 0L) bad = true          // empty token
+                      p = p2
+                    } catch { case _: ArrayIndexOutOfBoundsException => bad = true }
+                    k += 1
+                  }
+                  i += 1
+                }
+                if (bad || p != b.offBytes.length) errs += 1
               }
             }
           }

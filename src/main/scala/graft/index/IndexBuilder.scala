@@ -74,7 +74,12 @@ final case class BuildConfig(
     /** write per-doc term vectors (freq + positions + offsets per term,
       * `codecs/simpletext/termvectorswriter.go` role) for highlighting /
       * more-like-this; appends must match the committed setting */
-    storeTermVectors: Boolean = false)
+    storeTermVectors: Boolean = false,
+    /** store character offsets in the postings stream (IndexOptions
+      * ..._AND_OFFSETS, `core/document/indexoptions.go:3-29`) — lets
+      * highlighting run from postings WITHOUT a term-vectors copy of
+      * per-doc term data; implies storePositions; appends must match */
+    storeOffsets: Boolean = false)
 
 /** Spark-native inverted-index builder (SURVEY.md §7 modules 3-4).
   *
@@ -229,6 +234,8 @@ object IndexBuilder {
             streamBatch: Long = -1L): BuiltIndex = {
     import spark.implicits._
     require(cfg.chunkDocs % PostingBlock.Size == 0, "chunkDocs must be a multiple of block size")
+    require(!cfg.storeOffsets || cfg.storePositions,
+      "storeOffsets implies storePositions (IndexOptions ..._AND_OFFSETS extends ..._AND_POSITIONS)")
 
     val input: Dataset[(Long, String)] =
       docs.select(col(docIdCol).cast("long").as("_1"), col(contentCol).cast("string").as("_2"))
@@ -313,8 +320,9 @@ object IndexBuilder {
         // re-orders them by firstDoc and asserts their ranges don't
         // interleave, so a violated layout contract FAILS the build.
         val storePos = cfg.storePositions
+        val storeOff = cfg.storeOffsets
         input.rdd.mapPartitions { it =>
-          invertChunks(it, analyzer, segSizeL, chunkDocs, storePos)
+          invertChunks(it, analyzer, segSizeL, chunkDocs, storePos, storeOff)
         }
       } else {
         val partitioner = new org.apache.spark.Partitioner {
@@ -323,9 +331,10 @@ object IndexBuilder {
             ((key.asInstanceOf[Long] / chunkDocs) % stage1Parts).toInt
         }
         val storePos = cfg.storePositions
+        val storeOff = cfg.storeOffsets
         input.rdd
           .repartitionAndSortWithinPartitions(partitioner)
-          .mapPartitions(it => invertChunks(it, analyzer, segSizeL, chunkDocs, storePos))
+          .mapPartitions(it => invertChunks(it, analyzer, segSizeL, chunkDocs, storePos, storeOff))
       }
     val chunked: Dataset[Stage1Row] = spark.createDataset(chunkedRdd)
 
@@ -337,7 +346,8 @@ object IndexBuilder {
       if (cfg.stageCheckpoint) {
         val stagingDir = s"$indexDir/staging/gen=$generation"
         val fpPath = s"$indexDir/staging-gen$generation.fp"
-        val fp = sha256Hex(s"${indexFingerprint(inputPath, docCount)}:$segSize:${cfg.chunkDocs}")
+        val fp = sha256Hex(s"${indexFingerprint(inputPath, docCount)}:$segSize:${cfg.chunkDocs}" +
+          s":${cfg.storePositions}:${cfg.storeOffsets}")
         val reusable = inputPath.nonEmpty &&
           IndexIO.readText(spark, fpPath).contains(fp) &&
           IndexIO.exists(spark, s"$stagingDir/_SUCCESS")
@@ -416,6 +426,9 @@ object IndexBuilder {
       require(m.hasTermVectors == cfg.storeTermVectors,
         s"append storeTermVectors=${cfg.storeTermVectors} must match the committed " +
           s"index's hasTermVectors=${m.hasTermVectors}")
+      require(m.hasOffsets == cfg.storeOffsets,
+        s"append storeOffsets=${cfg.storeOffsets} must match the committed " +
+          s"index's hasOffsets=${m.hasOffsets} (a mixed index would break postings highlighting)")
     }
     val manifest = Manifest(
       generation = generation,
@@ -433,7 +446,8 @@ object IndexBuilder {
         if (streamBatch >= 0L) streamBatch
         else prev.map(_.lastStreamBatch).getOrElse(-1L),
       hasPositions = cfg.storePositions,
-      hasTermVectors = cfg.storeTermVectors)
+      hasTermVectors = cfg.storeTermVectors,
+      hasOffsets = cfg.storeOffsets)
     IndexIO.writeManifest(spark, indexDir, manifest)
     // drop STALE staged generations (this one stays reusable for a
     // same-fingerprint re-build; prior gens would otherwise accumulate
@@ -454,12 +468,14 @@ object IndexBuilder {
     * `pos` (present only on positions-enabled builds) holds every doc's
     * ascending positions concatenated in posting order: the walk order of
     * (docs, freqs) recovers the per-doc runs, so no offsets are stored. */
-  private final class TermBuf(withPositions: Boolean) {
+  private final class TermBuf(withPositions: Boolean, withOffsets: Boolean = false) {
     var docs = new Array[Int](8)
     var freqs = new Array[Int](8)
     var norms = new Array[Byte](8)
     var n = 0
     val pos: graft.analysis.IntBuf = if (withPositions) new graft.analysis.IntBuf(8) else null
+    // interleaved (start, end) code-point offsets, aligned with `pos`
+    val off: graft.analysis.IntBuf = if (withOffsets) new graft.analysis.IntBuf(8) else null
     def add(doc: Int, freq: Int, norm: Byte): Unit = {
       if (n == docs.length) {
         val cap = n << 1
@@ -473,7 +489,8 @@ object IndexBuilder {
 
   private def invertChunks(it: Iterator[(Long, String)], analyzer: Analyzer,
                            segSize: Long, chunkDocs: Int,
-                           storePositions: Boolean = false): Iterator[Stage1Row] = {
+                           storePositions: Boolean = false,
+                           storeOffsets: Boolean = false): Iterator[Stage1Row] = {
     new Iterator[Stage1Row] {
       private val in = it.buffered
       private var out: Iterator[Stage1Row] = Iterator.empty
@@ -507,7 +524,24 @@ object IndexBuilder {
             lastLocal = local
             in.next()
             val len =
-              if (storePositions) {
+              if (storeOffsets) {
+                // positions + offsets path (IndexOptions ..._AND_OFFSETS)
+                val (tp, l) = analyzer.termPositionOffsetCounts(content, intern)
+                val nb = (l & 0xFF).toByte
+                val tpIt = tp.entrySet().iterator()
+                while (tpIt.hasNext) {
+                  val e = tpIt.next()
+                  var b = terms.get(e.getKey)
+                  if (b == null) { b = new TermBuf(true, true); terms.put(e.getKey, b) }
+                  val pb = e.getValue
+                  b.add(local, pb.pos.n, nb)
+                  var j = 0
+                  while (j < pb.pos.n) { b.pos.add(pb.pos.a(j)); j += 1 }
+                  j = 0
+                  while (j < pb.off.n) { b.off.add(pb.off.a(j)); j += 1 }
+                }
+                l
+              } else if (storePositions) {
                 // positions path: term -> ascending token positions (the
                 // prox stream, freqproxtermswriterperfield.go:96-122)
                 val (tp, l) = analyzer.termPositionCounts(content, intern)
@@ -548,7 +582,9 @@ object IndexBuilder {
           val freqsA = java.util.Arrays.copyOf(b.freqs, b.n)
           val normsA = java.util.Arrays.copyOf(b.norms, b.n)
           val posA = if (b.pos == null) null else java.util.Arrays.copyOf(b.pos.a, b.pos.n)
-          postRows += Stage1Row(seg, t, salt, b.n, ttf, buildBlocks(docsA, freqsA, normsA, posA),
+          val offA = if (b.off == null) null else java.util.Arrays.copyOf(b.off.a, b.off.n)
+          postRows += Stage1Row(seg, t, salt, b.n, ttf,
+            buildBlocks(docsA, freqsA, normsA, posA, offA),
             -1, 0, null, firstDoc = docsA(0))
         }
         postRows.iterator ++ docRows.result().iterator
@@ -567,13 +603,20 @@ object IndexBuilder {
     * posting order (freqs give the per-doc run lengths); each block's slice
     * is stored as a varint delta stream (first position absolute, then gaps)
     * — the prox encoding of `core/index/freqproxtermswriterperfield.go:96-122`.
+    * `offsets` (optional, requires positions): interleaved (start, end)
+    * code-point offsets aligned with `positions`; per occurrence the block
+    * stores varint(start - prevStart) [prevStart resets per posting] +
+    * varint(end - start) — the reference's startOffset-delta + length
+    * encoding (same file, offsets branch).
     */
   def buildBlocks(docs: Array[Int], freqs: Array[Int], norms: Array[Byte],
-                  positions: Array[Int] = null): Array[PostingBlock] = {
+                  positions: Array[Int] = null,
+                  offsets: Array[Int] = null): Array[PostingBlock] = {
     val B = PostingBlock.Size
     val out = Array.newBuilder[PostingBlock]
     var i = 0
     var pcur = 0 // cursor into the flat positions stream
+    var ocur = 0 // cursor into the interleaved offsets stream (pairs)
     while (i < docs.length) {
       val end = math.min(i + B, docs.length)
       val d = new Array[Long](end - i)
@@ -600,9 +643,30 @@ object IndexBuilder {
           }
           bos.toByteArray
         }
+      val offBytes: Array[Byte] =
+        if (offsets == null) null
+        else {
+          val bos = new java.io.ByteArrayOutputStream(8 * (end - i))
+          j = i
+          while (j < end) {
+            var prevStart = 0
+            var k = 0
+            while (k < freqs(j)) {
+              val s = offsets(2 * ocur)
+              val e = offsets(2 * ocur + 1)
+              graft.codec.Varint.writeUvarint(bos, (s - prevStart).toLong)
+              graft.codec.Varint.writeUvarint(bos, (e - s).toLong)
+              prevStart = s
+              ocur += 1
+              k += 1
+            }
+            j += 1
+          }
+          bos.toByteArray
+        }
       val (impF, impN) = Impacts.pareto(freqs, norms, i, end)
       out += PostingBlock(docs(end - 1), end - i, graft.codec.MonotonicBlock.encode(d), ForBlock.encode(f), nb,
-        impF, impN, posBytes)
+        impF, impN, posBytes, offBytes)
       i = end
     }
     out.result()

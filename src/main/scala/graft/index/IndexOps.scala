@@ -103,12 +103,13 @@ object IndexOps {
     // term vectors (Compaction.rewriteWithTombstones).
     val delRdd = idx.deleteRows(spark).rdd.map(d => (d.segmentId, d.localDoc))
     val hasPos = m.hasPositions
+    val hasOff = m.hasOffsets
 
     // ---- postings: drop deleted postings, remap locals, re-encode --------
     Compaction.rewriteWithTombstones[TermPostings](spark,
       idx.postings(spark).as[TermPostings].rdd.map(tp => ((tp.segmentId, tp.term), tp: AnyRef)),
       delRdd, outParts) { (payload, deleted) =>
-        Compaction.rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos).iterator
+        Compaction.rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos, hasOff).iterator
       }
       .write.mode("overwrite").parquet(s"$indexDir/postings/gen=$gen")
 
@@ -287,19 +288,52 @@ private[index] object Compaction {
     (flat, starts)
   }
 
+  /** Decode a block's offsets stream into interleaved (start, end) pairs
+    * plus per-posting run starts (pair indices). */
+  private def decodeOffsets(b: PostingBlock, freqs: Array[Long]): (Array[Int], Array[Int]) = {
+    require(b.offBytes != null, "forceMerge on an offsets index requires offBytes in every block")
+    var total = 0
+    var j = 0
+    while (j < freqs.length) { total += freqs(j).toInt; j += 1 }
+    val pairs = new Array[Int](total * 2)
+    val starts = new Array[Int](freqs.length + 1)
+    var p = 0
+    var w = 0
+    j = 0
+    while (j < freqs.length) {
+      starts(j) = w
+      var prevStart = 0
+      var k = 0
+      while (k < freqs(j).toInt) {
+        val (ds, p1) = graft.codec.Varint.readUvarint(b.offBytes, p)
+        val (len, p2) = graft.codec.Varint.readUvarint(b.offBytes, p1)
+        val s = prevStart + ds.toInt
+        pairs(2 * w) = s; pairs(2 * w + 1) = s + len.toInt
+        prevStart = s
+        w += 1; p = p2; k += 1
+      }
+      j += 1
+    }
+    starts(freqs.length) = w
+    (pairs, starts)
+  }
+
   /** Rewrite one term's posting list against the segment's sorted tombstone
     * array; None when every posting was tombstoned. */
-  def rewriteTerm(tp: TermPostings, deleted: Array[Int], hasPos: Boolean): Option[TermPostings] = {
+  def rewriteTerm(tp: TermPostings, deleted: Array[Int], hasPos: Boolean,
+                  hasOff: Boolean = false): Option[TermPostings] = {
     if (deleted.isEmpty) return Some(tp) // untouched segment: bytes move as-is
     val docsB = new graft.analysis.IntBuf(64)
     val freqsB = new graft.analysis.IntBuf(64)
     val normsB = new java.io.ByteArrayOutputStream(64)
     val posB = if (hasPos) new graft.analysis.IntBuf(64) else null
+    val offB = if (hasOff) new graft.analysis.IntBuf(64) else null
     var ttf = 0L
     tp.blocks.foreach { blk =>
       val docs = graft.codec.MonotonicBlock.decode(blk.docBytes)
       val freqs = graft.codec.ForBlock.decode(blk.freqBytes)
       val pos = if (hasPos) decodePositions(blk, freqs) else null
+      val off = if (hasOff) decodeOffsets(blk, freqs) else null
       var i = 0
       while (i < docs.length) {
         val local = docs(i).toInt
@@ -314,6 +348,11 @@ private[index] object Compaction {
             var k = starts(i)
             while (k < starts(i + 1)) { posB.add(flat(k)); k += 1 }
           }
+          if (hasOff) {
+            val (pairs, starts) = off
+            var k = starts(i)
+            while (k < starts(i + 1)) { offB.add(pairs(2 * k)); offB.add(pairs(2 * k + 1)); k += 1 }
+          }
         }
         i += 1
       }
@@ -324,8 +363,9 @@ private[index] object Compaction {
       val freqsA = java.util.Arrays.copyOf(freqsB.a, freqsB.n)
       val normsA = normsB.toByteArray
       val posA = if (posB == null) null else java.util.Arrays.copyOf(posB.a, posB.n)
+      val offA = if (offB == null) null else java.util.Arrays.copyOf(offB.a, offB.n)
       Some(TermPostings(tp.segmentId, tp.term, docsB.n, ttf,
-        IndexBuilder.buildBlocks(docsA, freqsA, normsA, posA)))
+        IndexBuilder.buildBlocks(docsA, freqsA, normsA, posA, offA)))
     }
   }
 }

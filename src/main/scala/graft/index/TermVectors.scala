@@ -132,6 +132,58 @@ object Highlighter {
 
   final case class Snippet(text: String, matchCount: Int)
 
+  /** Per-(doc, term) occurrence data (freq, positions, offsets) read from
+    * the POSTINGS offsets stream (an index built with
+    * `BuildConfig.storeOffsets`) — highlighting WITHOUT a term-vectors copy
+    * of per-doc term data, exactly what IndexOptions ..._AND_OFFSETS buys
+    * in Lucene. The scan is pushed down to the query terms' posting rows
+    * (term min/max + dictionary pushdown); no other term's blocks are
+    * decoded. Tombstones are NOT applied (the caller already has a hit). */
+  def offsetsFromPostings(spark: SparkSession, index: BuiltIndex, terms: Set[String],
+                          docPred: Long => Boolean): Dataset[TermVectorRow] = {
+    import spark.implicits._
+    require(index.manifest.hasOffsets,
+      s"index at ${index.indexDir} was built without postings offsets (BuildConfig.storeOffsets)")
+    if (terms.isEmpty) return spark.emptyDataset[TermVectorRow]
+    val segSize = index.manifest.segmentSize
+    index.postings(spark)
+      .where(col("term").isin(terms.toSeq: _*))
+      .as[graft.index.TermPostings]
+      .flatMap { tp =>
+        val rd = new graft.search.TermReader(tp, new Array[Double](256))
+        val base = tp.segmentId.toLong * segSize
+        tp.blocks.indices.iterator.flatMap { bi =>
+          val docs = rd.docsOf(bi)
+          // decode lazily: blocks with no doc passing the predicate are
+          // skipped entirely (the common case for a point read)
+          val any = docs.exists(d => docPred(base + d))
+          if (!any) Iterator.empty
+          else {
+            val (pflat, pstarts) = rd.positionsOf(bi)
+            val (os, oe, ostarts) = rd.offsetsOf(bi)
+            docs.indices.iterator
+              .filter(i => docPred(base + docs(i)))
+              .map { i =>
+                TermVectorRow(base + docs(i), tp.term, pstarts(i + 1) - pstarts(i),
+                  java.util.Arrays.copyOfRange(pflat, pstarts(i), pstarts(i + 1)),
+                  java.util.Arrays.copyOfRange(os, ostarts(i), ostarts(i + 1)),
+                  java.util.Arrays.copyOfRange(oe, ostarts(i), ostarts(i + 1)))
+              }
+          }
+        }
+      }
+  }
+
+  /** [[highlight]] fed from the postings offsets stream instead of term
+    * vectors — parity-tested against the TV path. */
+  def highlightFromPostings(spark: SparkSession, index: BuiltIndex, docId: Long,
+                            text: String, queryTerms: Set[String],
+                            windowCp: Int = 160, pre: String = "<b>",
+                            post: String = "</b>"): Snippet = {
+    val tv = offsetsFromPostings(spark, index, queryTerms, _ == docId).collect().toSeq
+    highlight(text, tv, queryTerms, windowCp, pre, post)
+  }
+
   /** Best window of <= `windowCp` code points covering the most query-term
     * occurrences; each occurrence wrapped in `pre`/`post`. Offsets are code
     * points (tokenizer semantics) — converted to char indices here.

@@ -36,6 +36,17 @@ object PostingBlock {
   *                 IndexOptions DOCS_AND_FREQS_AND_POSITIONS,
   *                 `core/document/indexoptions.go:3-29`). Decoding walks the
   *                 freqs, so the stream needs no per-posting offsets.
+  * @param offBytes OPTIONAL character-offsets stream (IndexOptions
+  *                 ..._AND_OFFSETS, `core/document/indexoptions.go:3-29`;
+  *                 the reference writes startOffset deltas + lengths into
+  *                 the same per-field stream,
+  *                 `core/index/freqproxtermswriterperfield.go:96-122`):
+  *                 for each posting i, freq_i occurrences as
+  *                 varint(start - prevStart) [prevStart resets to 0 per
+  *                 posting] + varint(end - start). Offsets are code points
+  *                 (the tokenizer counts runes). Lets highlighting run from
+  *                 postings alone — no term-vectors copy of per-doc term
+  *                 data needed.
   */
 final case class PostingBlock(
     maxDoc: Int,
@@ -45,7 +56,8 @@ final case class PostingBlock(
     norms: Array[Byte],
     impactFreqs: Array[Int],
     impactNorms: Array[Int],
-    posBytes: Array[Byte] = null
+    posBytes: Array[Byte] = null,
+    offBytes: Array[Byte] = null
 )
 
 /** The posting list of one term within one segment.
@@ -134,6 +146,10 @@ final case class Manifest(
     // (`codecs/simpletext/termvectorswriter.go` role); same append-match
     // rule as hasPositions.
     hasTermVectors: Boolean = false,
+    // whether posting blocks carry the character-offsets stream
+    // (IndexOptions ..._AND_OFFSETS, `core/document/indexoptions.go:3-29`);
+    // implies hasPositions; same append-match rule.
+    hasOffsets: Boolean = false,
     // on-disk codec version of the posting blocks (the `segments_N` codec
     // id in the reference): readers REFUSE manifests whose codec they do
     // not speak (fail closed — decoding v1 FOR docBytes with the v2
@@ -143,8 +159,10 @@ final case class Manifest(
 )
 
 object Manifest {
-  /** v2 = MonotonicBlock docIds (+ optional positions stream). */
-  val CurrentCodecVersion: Int = 2
+  /** v2 = MonotonicBlock docIds (+ optional positions stream);
+    * v3 = optional offsets stream column in posting blocks (older readers
+    * would fail on the new struct field — fail closed both ways). */
+  val CurrentCodecVersion: Int = 3
 }
 
 /** One tombstone: a deleted doc addressed segment-locally (the live-docs

@@ -136,6 +136,51 @@ final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
     }
     m
   }
+
+  // decoded offsets per block: (flat starts, flat ends, per-posting run
+  // starts) — aligned with positionsOf; memoized the same way
+  private val memoOff = new Array[(Array[Int], Array[Int], Array[Int])](blocks.length)
+
+  /** Character offsets of block `bi` (requires an offsets-enabled index,
+    * IndexOptions ..._AND_OFFSETS). */
+  def offsetsOf(bi: Int): (Array[Int], Array[Int], Array[Int]) = {
+    var m = memoOff(bi)
+    if (m == null) {
+      val blk = blocks(bi)
+      if (blk.offBytes == null)
+        throw new IllegalStateException(
+          s"term '${tp.term}': index has no offsets stream — build with BuildConfig.storeOffsets=true")
+      val freqs = freqsOf(bi)
+      var total = 0
+      var j = 0
+      while (j < freqs.length) { total += freqs(j); j += 1 }
+      val fs = new Array[Int](total)
+      val fe = new Array[Int](total)
+      val starts = new Array[Int](freqs.length + 1)
+      var p = 0
+      var w = 0
+      j = 0
+      while (j < freqs.length) {
+        starts(j) = w
+        var prevStart = 0
+        var k = 0
+        while (k < freqs(j)) {
+          val (ds, p1) = graft.codec.Varint.readUvarint(blk.offBytes, p)
+          val (len, p2) = graft.codec.Varint.readUvarint(blk.offBytes, p1)
+          val s = prevStart + ds.toInt
+          fs(w) = s
+          fe(w) = s + len.toInt
+          prevStart = s
+          w += 1; p = p2; k += 1
+        }
+        j += 1
+      }
+      starts(freqs.length) = w
+      m = (fs, fe, starts)
+      memoOff(bi) = m
+    }
+    m
+  }
 }
 
 object TermReader {

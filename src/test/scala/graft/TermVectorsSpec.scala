@@ -22,7 +22,7 @@ class TermVectorsSpec extends AnyFunSuite {
   }
 
   private val cfg = BuildConfig(numSegments = 2, chunkDocs = 128,
-    storePositions = true, storeTermVectors = true)
+    storePositions = true, storeTermVectors = true, storeOffsets = true)
 
   private lazy val index = {
     val dir = java.nio.file.Files.createTempDirectory("graft-tv").toString
@@ -42,6 +42,72 @@ class TermVectorsSpec extends AnyFunSuite {
         assert(r.startOffsets.toSeq == toks.map(_.startOffset))
         assert(r.endOffsets.toSeq == toks.map(_.endOffset))
       }
+    }
+  }
+
+  test("postings offsets round-trip the analyzer's offsets; parity with the TV rows") {
+    val a = Analyzer.standard
+    for (id <- Seq(0L, 3L, 119L)) {
+      val want = a.tokenize(docs(id.toInt)._2).groupBy(_.term)
+      val terms = want.keySet
+      val got = Highlighter.offsetsFromPostings(spark, index, terms, _ == id)
+        .collect().map(r => r.term -> r).toMap
+      assert(got.keySet == terms)
+      want.foreach { case (t, toks) =>
+        val r = got(t)
+        assert(r.freq == toks.size)
+        assert(r.positions.toSeq == toks.map(_.position))
+        assert(r.startOffsets.toSeq == toks.map(_.startOffset))
+        assert(r.endOffsets.toSeq == toks.map(_.endOffset))
+      }
+      // parity with the term-vector rows for the same doc
+      val tv = TermVectors.ofStoredDoc(spark, index, id).map(r => r.term -> r).toMap
+      terms.foreach { t =>
+        assert(got(t).startOffsets.toSeq == tv(t).startOffsets.toSeq)
+        assert(got(t).endOffsets.toSeq == tv(t).endOffsets.toSeq)
+      }
+    }
+  }
+
+  test("highlighting from postings offsets == highlighting from term vectors") {
+    for (id <- Seq(3L, 9L, 21L)) {
+      val text = docs(id.toInt)._2
+      val qts = Set("needle", "haystack", "alpha")
+      val viaTv = Highlighter.highlight(text,
+        TermVectors.ofStoredDoc(spark, index, id).toSeq, qts)
+      val viaPost = Highlighter.highlightFromPostings(spark, index, id, text, qts)
+      assert(viaPost == viaTv, s"doc $id")
+      assert(viaPost.matchCount > 0)
+    }
+  }
+
+  test("offsets survive forceMerge (postings highlighting on remapped docIds)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-off-fm").toString
+    IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir, cfg)
+    IndexOps.deleteByTerm(spark, dir, "needle")
+    val merged = IndexOps.forceMerge(spark, dir)
+    assert(merged.manifest.hasOffsets)
+    val bySha = merged.docmeta(spark).select("docId", "sha").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val probe = docs.filterNot(_._2.contains("needle"))(5)
+    val newId = bySha(IndexBuilder.sha256Hex(probe._2))
+    val a = Analyzer.standard
+    val want = a.tokenize(probe._2).groupBy(_.term)
+    val got = Highlighter.offsetsFromPostings(spark, merged, Set("alpha", "common"), _ == newId)
+      .collect().map(r => r.term -> r).toMap
+    Seq("alpha", "common").foreach { t =>
+      assert(got(t).startOffsets.toSeq == want(t).map(_.startOffset))
+      assert(got(t).endOffsets.toSeq == want(t).map(_.endOffset))
+    }
+  }
+
+  test("append must match the committed index's offsets setting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-off-append").toString
+    IndexBuilder.build(spark, docs.take(30).toDF("doc_id", "text"), "doc_id", "text", dir, cfg)
+    val next = (1000L to 1005L).map(i => (i, "appended doc")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      IndexBuilder.append(spark, next, "doc_id", "text", dir,
+        cfg.copy(storeOffsets = false))
     }
   }
 

@@ -533,28 +533,47 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
 
   /** SORTED_SET doc-values faceting (`core/document/docvaluestype.go:3-30`
     * SORTED_SET; Lucene's SSDV facet counts): top-k terms by the number of
-    * MATCHING docs containing them. The term dictionary IS the ordinal
-    * space; the postings parquet IS the docId->ords mapping read in bulk —
-    * so the facet sweep is a full postings decode joined against the
-    * query's matching-doc set, then a count per term (Lucene's per-segment
-    * SSDV scan, as a shuffle-safe join instead of per-task whole-segment
-    * state). Matching docs of a selective query broadcast; a hot query
-    * degrades to a shuffle join — either way no task ever holds a whole
-    * segment's postings.
+    * MATCHING docs containing them.
+    *
+    * Served from the FORWARD structure when the index has one — the
+    * term-vectors tree is exactly the doc->terms map Lucene's SSDV column
+    * plays (`TermVectors.write` stores it docId-sorted) — so cost is
+    * proportional to the MATCHING docs' term sets, not to index size:
+    *  - selective queries (<= `maxPushdownIds` matches) push the matched
+    *    docIds into the TV scan (parquet In/min-max pushdown on the
+    *    docId-sorted files: non-matching row groups are skipped);
+    *  - hot queries broadcast-join the match set against a (docId, term)
+    *    column-pruned scan — no shuffle of the TV tree, no postings decode.
+    *
+    * Indexes without term vectors fall back to the postings sweep (one
+    * (term, docId) row per posting joined to the match set) — correct at
+    * any selectivity but ∝ index size; build with storeTermVectors when
+    * facets are part of the workload.
     */
-  def facetTopTerms(spark: SparkSession, q0: Query, k: Int): DataFrame = {
+  def facetTopTerms(spark: SparkSession, q0: Query, k: Int,
+                    maxPushdownIds: Int = 8192): DataFrame = {
     import spark.implicits._
-    val segSize = index.segmentSize
     val matches = matchingDocs(spark, q0).toDF("doc_id", "z").select("doc_id")
-    val pairs = index.postings(spark).as[TermPostings]
-      .flatMap { tp =>
-        val base = tp.segmentId.toLong * segSize
-        tp.blocks.iterator.flatMap(b =>
-          graft.codec.MonotonicBlock.decode(b.docBytes).iterator.map(l => (tp.term, base + l)))
+    val pairs: DataFrame =
+      if (index.manifest.hasTermVectors) {
+        val tv = index.termVectorsDf(spark).select(col("docId").as("doc_id"), col("term"))
+        val sample = matches.limit(maxPushdownIds + 1).collect().map(_.getLong(0))
+        if (sample.length <= maxPushdownIds)
+          tv.where(col("doc_id").isin(sample.map(Long.box): _*))
+        else
+          tv.join(org.apache.spark.sql.functions.broadcast(matches), "doc_id")
+      } else {
+        val segSize = index.segmentSize
+        index.postings(spark).as[TermPostings]
+          .flatMap { tp =>
+            val base = tp.segmentId.toLong * segSize
+            tp.blocks.iterator.flatMap(b =>
+              graft.codec.MonotonicBlock.decode(b.docBytes).iterator.map(l => (tp.term, base + l)))
+          }
+          .toDF("term", "doc_id")
+          .join(matches, "doc_id")
       }
-      .toDF("term", "doc_id")
-    pairs.join(matches, "doc_id")
-      .groupBy("term")
+    pairs.groupBy("term")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)

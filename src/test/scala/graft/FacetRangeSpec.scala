@@ -51,6 +51,44 @@ class FacetRangeSpec extends AnyFunSuite {
     assert(got == facetOracle(live, "facetme", 8))
   }
 
+  test("TV-backed facets: identical counts, scan pruned to the matching docIds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-facet-tv").toString
+    val idx = IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir,
+      BuildConfig(numSegments = 2, chunkDocs = 128, storeTermVectors = true))
+    val s = new IndexSearcher(idx)
+    val df = s.facetTopTerms(spark, TermQ("facetme"), 8)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == facetOracle(docs, "facetme", 8))
+    // the selective path must push the matched docIds into the TV scan —
+    // no postings decode, row groups outside the match set skipped
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(docId"),
+      s"expected docId In-pushdown in:\n$plan")
+    assert(!plan.toLowerCase.contains("postings"), "TV path must not scan postings")
+  }
+
+  test("TV-backed facets with tombstones match the live-corpus oracle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-facet-tv-del").toString
+    IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir,
+      BuildConfig(numSegments = 2, chunkDocs = 128, storeTermVectors = true))
+    val idx = IndexOps.deleteByTerm(spark, dir, "drop")
+    val s = new IndexSearcher(idx)
+    val got = s.facetTopTerms(spark, TermQ("facetme"), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == facetOracle(docs.filterNot(_._2.contains("drop")), "facetme", 8))
+  }
+
+  test("TV-backed facets: hot query takes the broadcast-join path, same counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-facet-tv-hot").toString
+    val idx = IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir,
+      BuildConfig(numSegments = 2, chunkDocs = 128, storeTermVectors = true))
+    val s = new IndexSearcher(idx)
+    // maxPushdownIds = 3 forces the broadcast-join branch ("shared" matches all)
+    val got = s.facetTopTerms(spark, TermQ("shared"), 8, maxPushdownIds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == facetOracle(docs, "shared", 8))
+  }
+
   test("RangeField relations partition intersecting pairs correctly") {
     val rows = (0 until 500).map { i =>
       val lo = (i % 97).toDouble

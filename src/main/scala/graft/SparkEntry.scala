@@ -37,7 +37,7 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f6-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f7-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         // small chunkDocs so even the sf-scale tables split into several
         // segments (segSize rounds up to a chunk multiple) — the verify
@@ -65,7 +65,7 @@ object SparkEntry {
     mfCached.synchronized {
       mfCached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f6-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f7-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         val idx = MultiFieldIndex.buildOrLoad(spark, docs, "doc_id",
           Seq("text", "lang", "source"), indexDir,
@@ -82,7 +82,7 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(s"$sfDir#del", {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f6-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f7-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
           BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = docsPath)
@@ -348,7 +348,7 @@ object SparkEntry {
     // build; certified via the per-row sha invariant at the new ids
     "q56_sorted_index" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f6-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f7-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       val docs = spark.read.parquet(docsPath)
       val idx = IndexBuilder.buildSorted(spark, docs,
         Seq(col("n_chars").desc, col("doc_id").asc), "text", dir,
@@ -389,7 +389,7 @@ object SparkEntry {
     "q45_stream_stats" -> ((spark: SparkSession, sfDir: String) => {
       import spark.implicits._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f6-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f7-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
       val cfg = BuildConfig(numSegments = 2, chunkDocs = 128)
       graft.streaming.StreamingIndexer.indexBatch(spark,
         docs.where(col("doc_id") < 250), "doc_id", "text", dir, cfg, batchId = 0L)
@@ -450,7 +450,7 @@ object SparkEntry {
     // compacted docId asc, which the oracle reproduces as live-doc order.
     "q53_force_merge" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f6-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f7-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       // a committed COMPACTED state (gen > 1, minGen == generation, no
       // tombstones) is this query's end state — reuse it; buildOrLoad's
       // fingerprint can't (forceMerge rewrites corpusSha and docCount)

@@ -50,17 +50,23 @@ object CheckIndex {
     // this probe is a crashed append, which leaves exactly the kind of
     // truncated/corrupt files that would make `spark.read.parquet` throw
     // and abort the remaining checks.
-    val orphanGens = {
+    val onDiskGens = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!f.exists(p)) Array.empty[Long]
       else f.listStatus(p).flatMap { st =>
         val n = st.getPath.getName
         if (st.isDirectory && n.startsWith("gen=")) n.drop(4).toLongOption else None
-      }.filter(_ > manifest.generation).sorted
+      }.sorted
     }
+    val orphanGens = onDiskGens.filter(_ > manifest.generation)
     if (orphanGens.nonEmpty)
       println(s"[graft] WARNING: orphan uncommitted postings generations ${orphanGens.mkString(",")} (invisible to readers)")
+    // a tiered merge deletes its superseded (dead) generations AFTER the
+    // commit; dirs surviving a crash in that window are invisible garbage
+    val deadLeftover = onDiskGens.filter(manifest.deadGens.contains)
+    if (deadLeftover.nonEmpty)
+      println(s"[graft] WARNING: dead (tiered-merged) generations still on disk: ${deadLeftover.mkString(",")} (invisible to readers; reclaimable)")
 
     // ---- 2. posting-list structural invariants -------------------------
     val hasPositions = manifest.hasPositions

@@ -171,7 +171,7 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
     * as a partition column for callers that group by it.
     */
   private def committedGenDirs(spark: SparkSession, root: String, minGen: Long,
-                               maxGen: Long): Seq[String] = {
+                               maxGen: Long, dead: Set[Long] = Set.empty): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) Nil
@@ -181,16 +181,22 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
         val n = st.getPath.getName
         if (n.startsWith("gen=")) n.drop(4).toLongOption.map(_ -> st.getPath) else None
       }
-      .collect { case (g, gp) if g >= minGen && g <= maxGen => gp.toString }
+      .collect { case (g, gp) if g >= minGen && g <= maxGen && !dead.contains(g) => gp.toString }
       .sorted
   }
 
-  private def readGens(spark: SparkSession, root: String, minGen: Long, maxGen: Long): DataFrame = {
-    val dirs = committedGenDirs(spark, root, minGen, maxGen)
+  private def readGens(spark: SparkSession, root: String, minGen: Long, maxGen: Long,
+                       dead: Set[Long] = Set.empty): DataFrame = {
+    val dirs = committedGenDirs(spark, root, minGen, maxGen, dead)
     if (dirs.isEmpty) // no committed data dirs (shouldn't happen under a manifest)
       throw new IllegalStateException(s"no committed gen in [$minGen,$maxGen] under $root")
     spark.read.option("basePath", root).parquet(dirs: _*)
   }
+
+  /** VISIBLE data generations of this manifest: [minGen, generation] minus
+    * the dead (tiered-merged) generations. */
+  def liveGens: Seq[Long] =
+    (manifest.minGen to manifest.generation).filterNot(manifest.deadGens.contains)
 
   /** Posting lists under `postings/gen=N/` (one subdir per committed
     * generation; `gen` is a hive-style partition column). Files are written
@@ -206,25 +212,29 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
     * to tombstones.
     */
   def postings(spark: SparkSession): DataFrame =
-    readGens(spark, s"$indexDir/postings", manifest.minGen, manifest.generation)
+    readGens(spark, s"$indexDir/postings", manifest.minGen, manifest.generation,
+      manifest.deadGens.toSet)
 
   /** (segmentId, docId, norm, sha) — norms + the per-row sha256 invariant.
     * Same committed-generation visibility rule as [[postings]]. */
   def docmeta(spark: SparkSession): DataFrame =
-    readGens(spark, s"$indexDir/docmeta", manifest.minGen, manifest.generation)
+    readGens(spark, s"$indexDir/docmeta", manifest.minGen, manifest.generation,
+      manifest.deadGens.toSet)
 
   /** Committed term-vector rows (when built with storeTermVectors) — same
     * gen-visibility rule as [[postings]]. */
   def termVectorsDf(spark: SparkSession): DataFrame =
-    readGens(spark, s"$indexDir/termvectors", manifest.minGen, manifest.generation)
+    readGens(spark, s"$indexDir/termvectors", manifest.minGen, manifest.generation,
+      manifest.deadGens.toSet)
 
   /** Committed tombstones (segmentId, localDoc); empty when the index has
-    * no deletes. Only generations <= manifest.deleteGen are read, so an
-    * orphan dir from a crashed delete op never leaks into queries. */
+    * no deletes. Only generations in [minDeleteGen, deleteGen] are read —
+    * an orphan dir from a crashed delete op (above) or a superseded
+    * pre-merge dir (below the floor) never leaks into queries. */
   def deleteRows(spark: SparkSession): org.apache.spark.sql.Dataset[DeleteRow] = {
     import spark.implicits._
     if (manifest.deletedCount == 0L) spark.emptyDataset[DeleteRow]
-    else readGens(spark, s"$indexDir/deletes", 0L, manifest.deleteGen)
+    else readGens(spark, s"$indexDir/deletes", manifest.minDeleteGen, manifest.deleteGen)
       .select($"segmentId", $"localDoc").as[DeleteRow]
   }
 }

@@ -55,6 +55,173 @@ object IndexOps {
   def deleteByTerm(spark: SparkSession, indexDir: String, term: String): BuiltIndex =
     deleteByQuery(spark, indexDir, TermQ(term))
 
+  /** Tiered merge policy — the TieredMergePolicy role
+    * (`core/index/mergepolicy.go:303-335`): generations whose postings tree
+    * is under `smallGenBytes` are merge candidates; a merge runs only when
+    * at least `minMerge` candidates exist (merging one gen into one gen is
+    * a no-op rewrite).
+    */
+  final case class MergePolicy(smallGenBytes: Long = 64L << 20, minMerge: Int = 2)
+
+  /** Incremental (tiered) compaction: rewrite ONLY the small generations
+    * into one new generation, leaving big ones alone — the remedy for a day
+    * of streaming micro-batches (thousands of tiny `gen=N` dirs) that does
+    * NOT pay forceMerge's full-index rewrite. Tombstones of the merged
+    * segments are reclaimed (dense docId remap + per-segment stat
+    * correction, exactly forceMerge's semantics restricted to those
+    * segments); tombstones of untouched segments survive, consolidated into
+    * a fresh deletes generation above the new `minDeleteGen` floor so the
+    * superseded pre-remap dirs can never be read again. Commit is the usual
+    * atomic manifest flip: the merged gens enter `deadGens` (invisible) and
+    * their dirs are deleted only after the commit is durable.
+    *
+    * Returns the same handle when no merge was warranted. Repeated calls
+    * converge: merged output counts as one (possibly big) generation.
+    */
+  def maybeMerge(spark: SparkSession, indexDir: String,
+                 policy: MergePolicy = MergePolicy(),
+                 outputPartitions: Option[Int] = None): BuiltIndex = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = IndexIO.readManifest(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
+    val idx = new BuiltIndex(indexDir, m)
+    val live = idx.liveGens
+    val candidates = live.filter { g =>
+      IndexIO.dirBytes(spark, s"$indexDir/postings/gen=$g") < policy.smallGenBytes
+    }
+    if (candidates.size < policy.minMerge) return idx
+    val gen = m.generation + 1
+    val segSize = m.segmentSize
+    val outParts = outputPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val candSet = candidates.toSet
+
+    def readSub(root: String): org.apache.spark.sql.DataFrame =
+      spark.read.option("basePath", root).parquet(candidates.map(g => s"$root/gen=$g"): _*)
+
+    // segments contained in the candidate gens (builds/appends write whole
+    // segments into one gen dir, so segment -> gen is a function; ASSERT it)
+    val mergedSegs: Set[Int] = readSub(s"$indexDir/docmeta")
+      .select("segmentId").distinct().collect().map(_.getInt(0)).toSet
+    val otherGens = live.filterNot(candSet)
+    if (otherGens.nonEmpty) {
+      val overlap = spark.read.option("basePath", s"$indexDir/docmeta")
+        .parquet(otherGens.map(g => s"$indexDir/docmeta/gen=$g"): _*)
+        .select("segmentId").distinct().collect().map(_.getInt(0)).toSet
+        .intersect(mergedSegs)
+      require(overlap.isEmpty,
+        s"segments $overlap span merged and unmerged generations — gen-per-segment invariant violated")
+    }
+
+    val allDels = idx.deleteRows(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val delRdd = allDels.filter(d => mergedSegs.contains(d.segmentId))
+        .rdd.map(d => (d.segmentId, d.localDoc))
+      val hasPos = m.hasPositions
+      val hasOff = m.hasOffsets
+
+      Compaction.rewriteWithTombstones[TermPostings](spark,
+        readSub(s"$indexDir/postings").as[TermPostings]
+          .rdd.map(tp => ((tp.segmentId, tp.term), tp: AnyRef)),
+        delRdd, outParts) { (payload, deleted) =>
+          Compaction.rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos, hasOff).iterator
+        }
+        .write.mode("overwrite").parquet(s"$indexDir/postings/gen=$gen")
+
+      Compaction.rewriteWithTombstones[DocMeta](spark,
+        readSub(s"$indexDir/docmeta").select($"segmentId", $"docId", $"norm", $"sha").as[DocMeta]
+          .rdd.map(d => ((d.segmentId, "%019d".format(d.docId)), d: AnyRef)),
+        delRdd, outParts) { (payload, deleted) =>
+          val d = payload.asInstanceOf[DocMeta]
+          val local = (d.docId - d.segmentId.toLong * segSize).toInt
+          val shift = Compaction.deletedAtOrBelow(deleted, local)
+          if (shift >= 0)
+            Iterator.single(DocMeta(d.segmentId,
+              d.segmentId.toLong * segSize + (local - shift), d.norm, d.sha))
+          else Iterator.empty
+        }
+        .write.mode("overwrite").parquet(s"$indexDir/docmeta/gen=$gen")
+
+      if (m.hasTermVectors) {
+        Compaction.rewriteWithTombstones[TermVectorRow](spark,
+          readSub(s"$indexDir/termvectors")
+            .select($"docId", $"term", $"freq", $"positions", $"startOffsets", $"endOffsets")
+            .as[TermVectorRow]
+            .rdd.map(tv => (((tv.docId / segSize).toInt, "%019d".format(tv.docId)), tv: AnyRef)),
+          delRdd, outParts) { (payload, deleted) =>
+            val tv = payload.asInstanceOf[TermVectorRow]
+            val seg = (tv.docId / segSize).toInt
+            val local = (tv.docId - seg.toLong * segSize).toInt
+            val shift = Compaction.deletedAtOrBelow(deleted, local)
+            if (shift >= 0)
+              Iterator.single(tv.copy(docId = seg.toLong * segSize + (local - shift)))
+            else Iterator.empty
+          }
+          .write.mode("overwrite").parquet(s"$indexDir/termvectors/gen=$gen")
+      }
+
+      // ---- recompute stats for the MERGED segments only -------------------
+      val newPostings = spark.read.parquet(s"$indexDir/postings/gen=$gen")
+      val newDocmeta = spark.read.parquet(s"$indexDir/docmeta/gen=$gen")
+      val postAgg = newPostings.groupBy("segmentId")
+        .agg(sum("docFreq").as("sdf"), sum("totalTermFreq").as("sttf"), count(lit(1)).as("tc"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val docAgg = newDocmeta.groupBy("segmentId")
+        .agg(count(lit(1)).as("dc"), sum(when(col("norm") > 0, 1L).otherwise(0L)).as("fdc"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val segs = m.segments.flatMap { s =>
+        if (!mergedSegs.contains(s.segmentId)) Some(s)
+        else docAgg.get(s.segmentId).map { case (dc, fdc) =>
+          val (sdf, sttf, tc) = postAgg.getOrElse(s.segmentId, (0L, 0L, 0L))
+          s.copy(docCount = dc, fieldDocCount = fdc, sumTotalTermFreq = sttf,
+            sumDocFreq = sdf, termCount = tc, postingCount = sdf,
+            lineageSha = IndexBuilder.sha256Hex(s"${s.segmentId}:${s.docBase}:$dc:$sttf:tiered$gen"))
+        } // merged segments whose docs were ALL deleted drop out
+      }
+      val stats = IndexStats(
+        docCount = segs.map(_.docCount).sum,
+        fieldDocCount = segs.map(_.fieldDocCount).sum,
+        sumTotalTermFreq = segs.map(_.sumTotalTermFreq).sum,
+        sumDocFreq = segs.map(_.sumDocFreq).sum)
+
+      // ---- consolidate surviving tombstones above a new floor -------------
+      val survivors = allDels.filter(d => !mergedSegs.contains(d.segmentId))
+      val nSurv = survivors.count()
+      val (newDeleteGen, newMinDeleteGen) =
+        if (nSurv > 0L) { val g2 = m.deleteGen + 1; (g2, g2) } else (0L, 0L)
+      if (nSurv > 0L)
+        survivors.write.mode("overwrite").parquet(s"$indexDir/deletes/gen=$newDeleteGen")
+
+      val deadGens = (m.deadGens ++ candidates).distinct.sorted
+      val m2 = m.copy(
+        generation = gen,
+        numSegments = segs.size, stats = stats, segments = segs,
+        corpusSha = IndexBuilder.sha256Hex(s"${m.corpusSha}#tiered:$gen"),
+        deadGens = deadGens,
+        deleteGen = newDeleteGen, minDeleteGen = newMinDeleteGen, deletedCount = nSurv)
+      val m3 = m2.copy(
+        postingsBytes = (m2.minGen to gen).filterNot(deadGens.contains)
+          .map(g => IndexIO.dirBytes(spark, s"$indexDir/postings/gen=$g")).sum,
+        docmetaBytes = (m2.minGen to gen).filterNot(deadGens.contains)
+          .map(g => IndexIO.dirBytes(spark, s"$indexDir/docmeta/gen=$g")).sum)
+      IndexIO.writeManifest(spark, indexDir, m3)
+      // reclaim superseded dirs only after the commit is durable
+      candidates.foreach { g =>
+        IndexIO.delete(spark, s"$indexDir/postings/gen=$g")
+        IndexIO.delete(spark, s"$indexDir/docmeta/gen=$g")
+        if (m.hasTermVectors) IndexIO.delete(spark, s"$indexDir/termvectors/gen=$g")
+      }
+      if (m.deletedCount > 0L) {
+        (m.minDeleteGen to m.deleteGen).foreach { g =>
+          IndexIO.delete(spark, s"$indexDir/deletes/gen=$g")
+        }
+        if (nSurv == 0L) IndexIO.delete(spark, s"$indexDir/deletes")
+      }
+      new BuiltIndex(indexDir, m3)
+    } finally allDels.unpersist(blocking = false)
+  }
+
   /** forceMerge(1): rewrite ALL committed generations into ONE new
     * generation, dropping tombstoned docs and correcting statistics — the
     * MergePolicy/SegmentMerger lifecycle
@@ -86,8 +253,7 @@ object IndexOps {
     val m = IndexIO.readManifest(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
     val idx = new BuiltIndex(indexDir, m)
-    val nGens = m.generation - m.minGen + 1
-    if (m.deletedCount == 0L && nGens == 1L) return idx // already compact
+    if (m.deletedCount == 0L && idx.liveGens.size == 1) return idx // already compact
     val gen = m.generation + 1
     val segSize = m.segmentSize
     val outParts = outputPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
@@ -174,7 +340,8 @@ object IndexOps {
       corpusSha = IndexBuilder.sha256Hex(s"${m.corpusSha}#merged:$gen"),
       postingsBytes = IndexIO.dirBytes(spark, s"$indexDir/postings/gen=$gen"),
       docmetaBytes = IndexIO.dirBytes(spark, s"$indexDir/docmeta/gen=$gen"),
-      deleteGen = 0L, deletedCount = 0L)
+      deadGens = Nil, // every pre-merge generation is superseded and deleted
+      deleteGen = 0L, minDeleteGen = 0L, deletedCount = 0L)
     IndexIO.writeManifest(spark, indexDir, m2)
     // superseded generations + tombstones are garbage once the compacted
     // manifest is durable (versioned commit: a crash before this point

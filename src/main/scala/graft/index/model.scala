@@ -132,6 +132,18 @@ final case class Manifest(
     // like Lucene before segments merge away their tombstones.
     deleteGen: Long = 0L,
     deletedCount: Long = 0L,
+    // data generations in [minGen, generation] superseded by a TIERED merge
+    // (IndexOps.maybeMerge rewrites a SUBSET of small generations into one
+    // new gen — the TieredMergePolicy role, `core/index/mergepolicy.go:
+    // 303-335` — so visibility is no longer a contiguous range): readers
+    // skip these dirs; they are deleted after the merge commit is durable
+    // (a crash in between leaves them on disk but invisible).
+    deadGens: Seq[Long] = Nil,
+    // lowest VISIBLE tombstone generation: maybeMerge consolidates the
+    // surviving tombstones into one new deletes/gen=K dir and raises this
+    // floor so the superseded tombstone dirs (which address pre-remap
+    // docIds of merged segments) can never leak into readers.
+    minDeleteGen: Long = 0L,
     // highest Structured-Streaming micro-batch id committed into this index
     // (-1 = none): foreachBatch replays after a failure re-deliver the same
     // batchId, and the streaming indexer skips batches <= this watermark —

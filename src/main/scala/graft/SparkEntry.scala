@@ -37,7 +37,7 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f7-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         // small chunkDocs so even the sf-scale tables split into several
         // segments (segSize rounds up to a chunk multiple) — the verify
@@ -65,7 +65,7 @@ object SparkEntry {
     mfCached.synchronized {
       mfCached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f7-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         val idx = MultiFieldIndex.buildOrLoad(spark, docs, "doc_id",
           Seq("text", "lang", "source"), indexDir,
@@ -82,7 +82,7 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(s"$sfDir#del", {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f7-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
           BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = docsPath)
@@ -348,12 +348,28 @@ object SparkEntry {
     // build; certified via the per-row sha invariant at the new ids
     "q56_sorted_index" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f7-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       val docs = spark.read.parquet(docsPath)
       val idx = IndexBuilder.buildSorted(spark, docs,
         Seq(col("n_chars").desc, col("doc_id").asc), "text", dir,
         BuildConfig(numSegments = 4, chunkDocs = 128))
       idx.docmeta(spark).select(col("docId").as("doc_id"), col("sha")).orderBy("doc_id")
+    }),
+    // early termination on the sorted index: each segment kernel emits its
+    // FIRST k matches in docId order and stops (docId order == sort order
+    // by buildSorted construction) — never scores nor visits the rest;
+    // identity certified by the sha at each early-terminated rank
+    "q61_sorted_early" -> ((spark: SparkSession, sfDir: String) => {
+      val docsPath = s"$sfDir/documents.parquet"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val docs = spark.read.parquet(docsPath)
+      val idx = IndexBuilder.buildSorted(spark, docs,
+        Seq(col("n_chars").desc, col("doc_id").asc), "text", dir,
+        BuildConfig(numSegments = 4, chunkDocs = 128))
+      val s = new IndexSearcher(idx)
+      val hits = s.searchSortedTopK(spark, TermQ("join"), 10).toDF("doc_id", "z").select("doc_id")
+      hits.join(idx.docmeta(spark).select(col("docId").as("doc_id"), col("sha")), "doc_id")
+        .orderBy("doc_id")
     }),
     // LatLonPoint analogue (latlon.go): deterministic per-doc coordinates
     // (a pure function of doc_id, like q44's payloads), two-phase distance
@@ -389,7 +405,7 @@ object SparkEntry {
     "q45_stream_stats" -> ((spark: SparkSession, sfDir: String) => {
       import spark.implicits._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f7-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f8-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
       val cfg = BuildConfig(numSegments = 2, chunkDocs = 128)
       graft.streaming.StreamingIndexer.indexBatch(spark,
         docs.where(col("doc_id") < 250), "doc_id", "text", dir, cfg, batchId = 0L)
@@ -450,7 +466,7 @@ object SparkEntry {
     // compacted docId asc, which the oracle reproduces as live-doc order.
     "q53_force_merge" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f7-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       // a committed COMPACTED state (gen > 1, minGen == generation, no
       // tombstones) is this query's end state — reuse it; buildOrLoad's
       // fingerprint can't (forceMerge rewrites corpusSha and docCount)
@@ -918,6 +934,18 @@ object SparkEntry {
       """SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1)::BIGINT AS doc_id,
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // sorted-index early termination: the first 10 'join'-matching docs in
+    // the sorted-rank (== docId) order, keyed by content sha
+    "q61_sorted_early" ->
+      raw"""WITH ranked AS (
+           |  SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1)::BIGINT AS rid,
+           |         text, sha256(text) AS sha
+           |  FROM documents
+           |), tok AS (
+           |  SELECT rid, unnest(string_split_regex(lower(text), '\s+')) AS term FROM ranked
+           |), m AS (SELECT DISTINCT rid FROM tok WHERE term = 'join')
+           |SELECT ranked.rid AS doc_id, ranked.sha FROM ranked JOIN m USING (rid)
+           |ORDER BY doc_id LIMIT 10""".stripMargin,
     // term-vector rows: freq + position extent per (doc, term); positions
     // are 0-based emitted-token ranks (subscripts are 1-based -> -1)
     "q54_term_vectors" ->

@@ -182,7 +182,8 @@ object IndexBuilder {
                   inputPath: String = ""): BuiltIndex = {
     val withIds = assignDenseIds(spark, docs, sortCols, base = 0L)
     buildInternal(spark, withIds, "__doc_id", contentCol, indexDir,
-      cfg.copy(assumeContiguous = true), inputPath, prev = None)
+      cfg.copy(assumeContiguous = true), inputPath, prev = None,
+      indexSort = sortCols.map(_.toString).mkString(", "))
   }
 
   /** Distributed dense-id assignment: ids = `base` + rank of `sortCols`
@@ -231,7 +232,8 @@ object IndexBuilder {
             cfg: BuildConfig,
             inputPath: String,
             prev: Option[Manifest],
-            streamBatch: Long = -1L): BuiltIndex = {
+            streamBatch: Long = -1L,
+            indexSort: String = ""): BuiltIndex = {
     import spark.implicits._
     require(cfg.chunkDocs % PostingBlock.Size == 0, "chunkDocs must be a multiple of block size")
     require(!cfg.storeOffsets || cfg.storePositions,
@@ -447,7 +449,12 @@ object IndexBuilder {
         else prev.map(_.lastStreamBatch).getOrElse(-1L),
       hasPositions = cfg.storePositions,
       hasTermVectors = cfg.storeTermVectors,
-      hasOffsets = cfg.storeOffsets)
+      hasOffsets = cfg.storeOffsets,
+      // an append's docIds start past the existing range, so its rows CANNOT
+      // interleave into the committed sort order — the global
+      // docId-order == sort-order invariant no longer holds and the sorted
+      // fast path must refuse (cleared, not inherited)
+      indexSort = if (prev.isDefined) "" else indexSort)
     IndexIO.writeManifest(spark, indexDir, manifest)
     // drop STALE staged generations (this one stays reusable for a
     // same-fingerprint re-build; prior gens would otherwise accumulate

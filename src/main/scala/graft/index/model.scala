@@ -132,6 +132,12 @@ final case class Manifest(
     // like Lucene before segments merge away their tombstones.
     deleteGen: Long = 0L,
     deletedCount: Long = 0L,
+    // non-empty when the index was built with IndexBuilder.buildSorted
+    // (IndexWriterConfig.setIndexSort role): a descriptor of the sort whose
+    // rank order IS the docId order. Searches whose sort equals the index
+    // sort may early-terminate per segment (IndexSearcher.searchSortedTopK)
+    // — the entire point of index sorting.
+    indexSort: String = "",
     // data generations in [minGen, generation] superseded by a TIERED merge
     // (IndexOps.maybeMerge rewrites a SUBSET of small generations into one
     // new gen — the TieredMergePolicy role, `core/index/mergepolicy.go:

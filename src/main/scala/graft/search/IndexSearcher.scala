@@ -204,6 +204,32 @@ object SegmentKernel {
     }
   }
 
+  /** First `k` matches of the segment in ASCENDING docId order, then STOP —
+    * the early-termination leaf collector for sorted indexes (Lucene's
+    * TopFieldCollector leaf early-exit when the index sort matches the
+    * query sort): on a `buildSorted` index docId order == sort order by
+    * construction, so the first k matching docIds ARE the segment's sorted
+    * top-k. No scoring work; at most k matches are visited past the last
+    * collected one.
+    */
+  def firstK(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
+             ctx: QueryContext, k: Int,
+             deleted: Array[Int] = Array.emptyIntArray): Iterator[ScoredDoc] = {
+    ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = false,
+        () => Double.NegativeInfinity) match {
+      case None => Iterator.empty
+      case Some(s0) =>
+        val s = live(s0, deleted)
+        val out = new scala.collection.mutable.ArrayBuffer[ScoredDoc](k)
+        var d = s.nextDoc()
+        while (d != DISI.NO_MORE && out.size < k) {
+          out += ScoredDoc(seg.docBase + d, 0.0)
+          d = s.nextDoc()
+        }
+        out.iterator
+    }
+  }
+
   def count(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
             ctx: QueryContext, deleted: Array[Int] = Array.emptyIntArray): Long = {
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = false,
@@ -334,6 +360,30 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
                    sortCols: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
     val matches = scoreAll(spark, q0).toDF("doc_id", "score")
     matches.join(fields, "doc_id").orderBy(sortCols: _*).limit(k)
+  }
+
+  /** Early-terminating top-k over a SORTED index (built with
+    * [[graft.index.IndexBuilder.buildSorted]], which makes docId order ==
+    * index-sort order; the manifest records the sort): each segment's
+    * kernel emits only its FIRST k matches in docId order and stops — it
+    * never scores nor visits the rest of its matches — and the global
+    * merge keeps the k smallest docIds. Equivalent to
+    * [[searchSortBy]]-with-the-index-sort, which scores and sorts EVERY
+    * match (rank-identity tested); this is Lucene's
+    * TopFieldCollector-on-index-sort early termination, the entire point
+    * of index sorting. Returns (docId, 0.0) rows, docId ascending.
+    */
+  def searchSortedTopK(spark: SparkSession, q0: Query, k: Int): Dataset[ScoredDoc] = {
+    import spark.implicits._
+    require(index.manifest.indexSort.nonEmpty,
+      s"index at ${index.indexDir} has no index sort (build with IndexBuilder.buildSorted; " +
+        "appends clear it — the appended docIds cannot interleave into the sort order)")
+    val q = rewrite(spark, q0)
+    val ctx = queryContext(spark, q)
+    val perLeaf = runLeaves(spark, q) { (seg, post, del) =>
+      SegmentKernel.firstK(q, readers(post, ctx), seg, ctx, k, del)
+    }
+    perLeaf.orderBy($"docId".asc).limit(k).as[ScoredDoc]
   }
 
   /** Global term statistics for the query terms: sum over segments, pushed

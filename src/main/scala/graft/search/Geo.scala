@@ -73,9 +73,38 @@ object Geo {
       .where(col("dist_km") <= radiusKm)
   }
 
-  /** k nearest docs to (lat2, lon2) — TakeOrderedAndProject bounded heap. */
+  /** k nearest docs to (lat2, lon2), with expanding-ring pruning (the role
+    * of LatLonPoint's best-first BKD traversal in `nearest`): probe
+    * [[circleBox]] rings of growing radius — each probe a BOX-PRUNED scan —
+    * until a ring holds >= k confirmed hits. Soundness: `withinDistance`
+    * keeps only dist <= r, so >= k hits mean the k-th distance is <= r,
+    * and every point outside box(r) is farther than r — the ring's top-k
+    * IS the global top-k. A k-NN over 10^12 points therefore evaluates
+    * haversine only inside the winning ring's box instead of everywhere;
+    * rings that cover the planet degrade to the exhaustive scan
+    * ([[nearestExhaustive]]).
+    */
   def nearest(df: DataFrame, latCol: String, lonCol: String,
-              lat2: Double, lon2: Double, k: Int, idCol: String): DataFrame =
+              lat2: Double, lon2: Double, k: Int, idCol: String,
+              initialRadiusKm: Double = 25.0): DataFrame = {
+    var r = math.max(1e-3, initialRadiusKm)
+    // half the Earth's circumference bounds every great-circle distance;
+    // past it the box is the whole planet and probing adds nothing
+    val maxR = math.Pi * EarthRadiusKm
+    while (r < maxR) {
+      val ring = withinDistance(df, latCol, lonCol, lat2, lon2, r)
+      if (ring.limit(k).count() >= k)
+        return ring.orderBy(round(col("dist_km"), 6).asc, col(idCol).asc).limit(k)
+      r *= 4
+    }
+    nearestExhaustive(df, latCol, lonCol, lat2, lon2, k, idCol)
+  }
+
+  /** Unpruned k-nearest — haversine over every row, TakeOrderedAndProject
+    * bounded heap. The correctness reference for [[nearest]] and the
+    * fallback when the rings exhaust the planet (k close to |corpus|). */
+  def nearestExhaustive(df: DataFrame, latCol: String, lonCol: String,
+                        lat2: Double, lon2: Double, k: Int, idCol: String): DataFrame =
     df.withColumn("dist_km", haversineKm(col(latCol), col(lonCol), lat2, lon2))
       .orderBy(round(col("dist_km"), 6).asc, col(idCol).asc)
       .limit(k)

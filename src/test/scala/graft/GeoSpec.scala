@@ -57,13 +57,48 @@ class GeoSpec extends AnyFunSuite {
     assert(plain == wantPlain && plain.nonEmpty)
   }
 
+  private def oracleNearest(clat: Double, clon: Double, k: Int): Seq[Long] =
+    pts.map { case (id, la, lo) =>
+      (id, BigDecimal(haversine(la, lo, clat, clon))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+
   test("nearest-k equals sort-take-k of the oracle distances") {
     val got = Geo.nearest(df, "lat", "lon", 48.0, 2.0, 15, "id")
       .select("id").as[Long].collect().toSeq
-    val want = pts.map { case (id, la, lo) =>
-      (id, BigDecimal(haversine(la, lo, 48.0, 2.0))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.sortBy { case (id, d) => (d, id) }.take(15).map(_._1)
-    assert(got == want)
+    assert(got == oracleNearest(48.0, 2.0, 15))
+  }
+
+  test("expanding-ring nearest == exhaustive nearest across centers, k, and start radii") {
+    for {
+      (clat, clon) <- Seq((48.0, 2.0), (85.0, 10.0), (0.0, 179.5), (-33.0, -70.0))
+      k <- Seq(1, 5, 40)
+      r0 <- Seq(1.0, 25.0, 5000.0)
+    } {
+      val pruned = Geo.nearest(df, "lat", "lon", clat, clon, k, "id", initialRadiusKm = r0)
+        .select("id").as[Long].collect().toSeq
+      val full = Geo.nearestExhaustive(df, "lat", "lon", clat, clon, k, "id")
+        .select("id").as[Long].collect().toSeq
+      assert(pruned == full, s"center=($clat,$clon) k=$k r0=$r0")
+      assert(pruned == oracleNearest(clat, clon, k))
+    }
+  }
+
+  test("k larger than any ring falls back to the exhaustive path, still correct") {
+    val k = pts.size // every point requested
+    val got = Geo.nearest(df, "lat", "lon", 10.0, 20.0, k, "id")
+      .select("id").as[Long].collect().toSeq
+    assert(got == oracleNearest(10.0, 20.0, k))
+  }
+
+  test("the first ring's scan is box-pruned (filters pushed to the parquet scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-parquet").toString
+    df.write.mode("overwrite").parquet(dir)
+    val pdf = spark.read.parquet(dir)
+    val ring = Geo.withinDistance(pdf, "lat", "lon", 48.0, 2.0, 25.0)
+    val plan = ring.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(lat") && plan.contains("LessThanOrEqual(lat"),
+      s"expected lat box pushdown in:\n$plan")
   }
 }

@@ -161,6 +161,10 @@ object SparkEntry {
     "q19_regexp" -> topk(RegexpQ("s(p|t).*"), 30),
     // TermRangeQuery: dictionary byte-order range [d, e)
     "q20_term_range" -> topk(TermRangeQ(Some("d"), Some("e"), includeHi = false), 30),
+    // FuzzyQuery: terms within classic Levenshtein distance 2 of 'spark'
+    // (absent in the reference; Lucene surface), distributed constant-score
+    // multi-term rewrite — dictionary never expanded on the driver
+    "q60_fuzzy" -> topk(FuzzyQ("spark", 2), 30),
     // TopFieldCollector: matches sorted by a stored field (n_chars desc)
     "q21_sort_by_field" -> ((spark: SparkSession, sfDir: String) => {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -632,6 +636,10 @@ object SparkEntry {
     "q20_term_range" ->
       s"""$base, hits AS (SELECT DISTINCT doc_id, 1.0 AS s FROM sc
          |                WHERE term >= 'd' AND term < 'e')
+         |${top(30)}""".stripMargin,
+    "q60_fuzzy" ->
+      s"""$base, hits AS (SELECT DISTINCT doc_id, 1.0 AS s FROM sc
+         |                WHERE levenshtein(term, 'spark') <= 2)
          |${top(30)}""".stripMargin,
     "q21_sort_by_field" ->
       s"""$base, m AS (SELECT DISTINCT doc_id FROM sc WHERE term = 'dup')

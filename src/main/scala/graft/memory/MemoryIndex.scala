@@ -56,6 +56,8 @@ final class MemoryIndex(analyzer: Analyzer = Analyzer.standard) {
         lo.forall(v => if (il) t >= v else t > v) && hi.forall(v => if (ih) t <= v else t < v)
       }
       ConstQ(TermInSetQ(ts.toSet), 1.0)
+    case FuzzyQ(t, e) =>
+      ConstQ(TermInSetQ(tf.keySet.filter(FuzzyPred(t, e).matches).toSet), 1.0)
     case BoolQ(m, s, f, x, msm) =>
       BoolQ(m.map(expand), s.map(expand), f.map(expand), x.map(expand), msm)
     case BoostQ(s, b) => BoostQ(expand(s), b)

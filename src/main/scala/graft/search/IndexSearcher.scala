@@ -81,7 +81,7 @@ object ScorerBuilder {
         val w = boost * ts.map(t => ctx.idf.getOrElse(t, 0.0)).sum
         Some(new PhraseScorer(subs, w, ctx.cache, scoring, slop))
       }
-    case _: PrefixQ | _: RegexpQ | _: TermRangeQ =>
+    case _: PrefixQ | _: RegexpQ | _: TermRangeQ | _: FuzzyQ =>
       throw new IllegalStateException("multi-term queries must be rewritten to MultiTermQ before scoring")
     case b: BoolQ => buildBool(b, postings, segDocCount, ctx, boost, scoring, minCompetitive)
   }
@@ -308,6 +308,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       ConstQ(MultiTermQ(RegexPred(p)), 1.0)
     case TermRangeQ(lo, hi, incLo, incHi) =>
       ConstQ(MultiTermQ(RangePred(lo, hi, incLo, incHi)), 1.0)
+    case FuzzyQ(t, e) => ConstQ(MultiTermQ(FuzzyPred(t, e)), 1.0)
     case BoolQ(m, s, f, n, msm) =>
       BoolQ(m.map(toMultiTerm), s.map(toMultiTerm), f.map(toMultiTerm), n.map(toMultiTerm), msm)
     case BoostQ(sub, b) => BoostQ(toMultiTerm(sub), b)
@@ -332,6 +333,15 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       val full = col("term").rlike(s"^(?:$pat)$$")
       val pre = r.literalPrefix
       if (pre.nonEmpty) col("term").startsWith(pre) && full else full
+    case FuzzyPred(t, e) =>
+      // no sound prefix/range exists (the first character may be edited), so
+      // nothing reaches the parquet row-group stats: the filter is Spark's
+      // codegen'd levenshtein over the term column — the same metric the
+      // kernel re-check computes. Length windowing first skips the DP for
+      // the vast majority of dictionary terms.
+      (org.apache.spark.sql.functions.length(col("term"))
+        .between(t.length - e, t.length + e)) &&
+        org.apache.spark.sql.functions.levenshtein(col("term"), lit(t)) <= e
   }
 
   /** Fetch stored fields for hits — the `IndexReader.Document(docID)`

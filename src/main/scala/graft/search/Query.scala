@@ -92,6 +92,18 @@ final case class TermRangeQ(lo: Option[String], hi: Option[String],
   * freq = exact phrase count. */
 final case class PhraseQ(phraseTerms: Seq[String], slop: Int = 0) extends Query
 
+/** FuzzyQuery (Lucene 8.11 surface; ABSENT in the reference — no fuzzy file
+  * exists — so Lucene semantics with our multi-term machinery): matches
+  * docs containing >= 1 dictionary term within `maxEdits` classic
+  * Levenshtein edits of `term`. Rewritten like Prefix/Regexp to a
+  * DISTRIBUTED constant-score [[MultiTermQ]] ([[FuzzyPred]]) — the
+  * dictionary is never expanded on the driver. Constant score (the
+  * CONSTANT_SCORE multi-term rewrite); classic Levenshtein (no
+  * transpositions), the same metric Spark's and DuckDB's `levenshtein`
+  * compute, so the scan filter, the kernel re-check, and the oracle agree
+  * by construction. */
+final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
+
 /** A term-dictionary predicate that travels WITH the query to the executors
   * instead of being expanded on the driver. Each variant has two faces:
   * [[matches]] (exact kernel-side semantics) and a Catalyst translation in
@@ -114,6 +126,42 @@ final case class RangePred(lo: Option[String], hi: Option[String],
     okLo && okHi
   }
 }
+final case class FuzzyPred(term: String, maxEdits: Int) extends TermPredicate {
+  /** Banded two-row Levenshtein with per-row early exit: O(|a|·|b|) worst
+    * case but abandons a candidate as soon as every cell of a row exceeds
+    * maxEdits — the cheap scalar stand-in for Lucene's Levenshtein
+    * automaton (which intersects the FST; our dictionary is a parquet
+    * column, so the scan-side filter is Spark's codegen'd `levenshtein`
+    * and this is the kernel-side exact re-check). */
+  def matches(t: String): Boolean = {
+    val a = term
+    val b = t
+    if (math.abs(a.length - b.length) > maxEdits) return false
+    if (a.length == 0) return b.length <= maxEdits
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var curr = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      curr(0) = i
+      var rowMin = curr(0)
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (curr(j - 1) + 1 < v) v = curr(j - 1) + 1
+        curr(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > maxEdits) return false
+      val tmp = prev; prev = curr; curr = tmp
+      i += 1
+    }
+    prev(b.length) <= maxEdits
+  }
+}
+
 final case class RegexPred(pattern: String) extends TermPredicate {
   // compiled once per task (the closure ships only the string)
   @transient private lazy val re = java.util.regex.Pattern.compile(pattern)

@@ -86,6 +86,7 @@ object BenchLevel {
     val corpusPath = args(1)
     val nQueries = args(2).toInt
     val k = args(3).toInt
+    val mode = if (args.length > 4) args(4) else "local"
 
     // Bench artifacts live on tmpfs: the sandbox's virtio disk has 2-3x
     // run-to-run writeback jitter that would swamp the scaling signal (we
@@ -98,13 +99,38 @@ object BenchLevel {
     // FIXED 64 at both levels, the stage-2 sort ran as 2 waves of heavy
     // tasks at 32 threads, each task getting 1/32 of the execution-memory
     // pool (vs 1/8 at local[8]) — measured as stage2-merge ANTI-scaling
-    // (5.6 s at N -> 11.5 s at 4N, BENCH_r02). Index GEOMETRY (64 segments,
-    // 1024-doc chunks) stays identical across levels, so results are
-    // bit-identical; only the shuffle task granularity differs.
+    // (5.6 s at N -> 11.5 s at 4N, BENCH_r02; that run IS the isolated
+    // effect of shuffle width, recorded so the width choice here stays
+    // accountable). Index GEOMETRY (64 segments, 1024-doc chunks) stays
+    // identical across levels, so results are bit-identical; only the
+    // shuffle task granularity differs.
     val shuffleParts = math.max(64, 4 * cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-bench-level-$cpus")
+    // "cluster" mode runs this level as a local-cluster standalone app:
+    // cpus/4 SEPARATE executor JVMs x 4 cores (the "N vs 4N executors"
+    // shape of the north rule — each executor has its own heap, allocator,
+    // and GC instead of one shared JVM). Worker slots get 4 GiB; executor
+    // heaps 3 GiB, so total memory scales with executor count exactly as a
+    // real cluster's would. Our classes reach the executor JVMs via
+    // extraClassPath (same machine, same filesystem).
+    val (master, clusterConfs) =
+      if (mode == "cluster") {
+        val execs = math.max(1, cpus / 4)
+        val cores = math.min(4, cpus)
+        // executor JVMs start in the worker's app dir — RELATIVE classpath
+        // entries (sbt/scripts pass "target/scala-2.13/classes") must be
+        // absolutized against THIS (driver) JVM's cwd or executors fail
+        // with ClassNotFoundException on our classes
+        val absCp = sys.props("java.class.path")
+          .split(java.io.File.pathSeparator)
+          .map(p => new java.io.File(p).getAbsolutePath)
+          .mkString(java.io.File.pathSeparator)
+        (s"local-cluster[$execs,$cores,4096]", Seq(
+          "spark.executor.memory" -> "3g",
+          "spark.executor.extraClassPath" -> absCp))
+      } else (s"local[$cpus]", Nil)
+    val builder = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-bench-level-$cpus-$mode")
       .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       // the corpus is 64 smallish files; default 128M/4M split bin-packing
       // would coalesce the scan into ~3 partitions and serialize the whole
@@ -114,7 +140,8 @@ object BenchLevel {
       .config("spark.local.dir", s"$shm/spark-n$cpus")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    clusterConfs.foreach { case (a, b) => builder.config(a, b) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cfg = BuildConfig(numSegments = 64, outputPartitions = Some(shuffleParts), chunkDocs = 1024)
 
@@ -171,6 +198,22 @@ object BenchLevel {
       hits.sortBy(h => (h.queryId, -h.score, h.docId))
         .map(h => s"${h.queryId}:${h.docId}:${h.score}").mkString("\n"))
 
+    // timed: the PRODUCTION-SHAPED batch — same query count and shapes over
+    // <= 5% of the vocabulary (SyntheticCorpus.selectiveQueries). The
+    // reference set's term union covers the whole dictionary (a deliberate
+    // worst case whose cogroup moves the entire index through memory); real
+    // query logs touch a sliver, and this row measures THAT shape's scaling.
+    val selQueries = SyntheticCorpus.selectiveQueries(nQueries)
+    var selHits: Array[graft.search.QueryHit] = null
+    val batchSelSecs = (1 to 2).map { _ =>
+      val (h, secs) = timed(searcher.searchMany(spark, selQueries, k).collect())
+      selHits = h
+      secs
+    }.min
+    val selSha = IndexBuilder.sha256Hex(
+      selHits.sortBy(h => (h.queryId, -h.score, h.docId))
+        .map(h => s"${h.queryId}:${h.docId}:${h.score}").mkString("\n"))
+
     val calib = calibrate()
     // fixed-work-per-thread probe at the LEVEL's width (5x the health
     // probe's work so scheduler jitter amortizes): the cross-level ratio of
@@ -181,8 +224,10 @@ object BenchLevel {
       contigPhases.map { case (n, s) => f"pc_$n=$s%.3f" }).mkString(" ")
     println(f"LEVELRESULT cpus=$cpus docs=$nDocs build_secs=$buildSecs%.3f " +
       f"build_contig_secs=$buildContigSecs%.3f batch_secs=$batchSecs%.3f " +
+      f"batch_sel_secs=$batchSelSecs%.3f sel_sha=$selSha " +
       f"calib_secs=$calib%.3f calibwide_secs=$calibWide%.3f membw_gbps=$membw%.2f sha=$sha $phaseKv")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(shm + s"/spark-n$cpus"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(shm + s"/work-$cpus"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(contigDir))

@@ -70,11 +70,35 @@ object SyntheticCorpus {
   /** The reference query set (FIXTURES.md): seeded mix of single-term,
     * conjunction, disjunction (with minShouldMatch), mixed, boosted and
     * dis-max queries over the corpus vocabulary.
+    *
+    * NOTE on what this set measures: its term UNION covers essentially the
+    * WHOLE vocabulary (hot + mid + rare), so a batch over it moves and
+    * decodes the entire index — a deliberate worst case. Production query
+    * logs touch a small slice of the dictionary per batch; see
+    * [[selectiveQueries]] for that shape.
     */
-  def referenceQueries(count: Int): Seq[(String, Query)] = {
-    val rnd = new scala.util.Random(Seed)
-    val rare = Vector.tabulate(40)(i => s"id_${(i * 97) % 800}")
-    val pool = hot ++ mid.take(20) ++ rare
+  def referenceQueries(count: Int): Seq[(String, Query)] =
+    mkQueries(count, new scala.util.Random(Seed),
+      hot ++ mid.take(20) ++ Vector.tabulate(40)(i => s"id_${(i * 97) % 800}"))
+
+  /** Production-shaped batch: the same query-shape mix drawn from a FIXED
+    * sample of <= 5% of the corpus vocabulary (real query logs concentrate
+    * on a sliver of the dictionary per batch — hot-term caches and scan
+    * pushdown then touch a correspondingly small slice of the index).
+    * Vocabulary = 10 hot + 80 mid + 800 rare = 890 terms; the pool below is
+    * 44 terms (2 hot, 12 mid, 30 rare), seeded and disjoint-stable across
+    * processes.
+    */
+  def selectiveQueries(count: Int): Seq[(String, Query)] = {
+    val rnd = new scala.util.Random(Seed + 1)
+    val pool = rnd.shuffle(hot).take(2) ++
+      rnd.shuffle(mid).take(12) ++
+      rnd.shuffle(Vector.tabulate(800)(i => s"id_$i")).take(30)
+    mkQueries(count, rnd, pool.toVector)
+  }
+
+  private def mkQueries(count: Int, rnd: scala.util.Random,
+                        pool: Vector[String]): Seq[(String, Query)] = {
     def pick(k: Int): Seq[String] = rnd.shuffle(pool).take(k)
     (0 until count).map { i =>
       val q: Query = i % 5 match {

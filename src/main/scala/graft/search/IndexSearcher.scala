@@ -556,10 +556,28 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       stats.map { case (t, df) => t -> Bm25.idf(df, n) },
       Bm25.buildCache(index.stats.avgdl), n)
     val t2 = System.nanoTime()
-    val perLeaf: Dataset[QueryHit] = runSegments(spark, rows) { (seg, post, del) =>
-      val rds = readers(post, ctx) // decode memo shared across ALL queries of the batch
-      normed.iterator.flatMap { case (id, q) =>
-        SegmentKernel.topK(q, rds, seg, ctx, k, None, del)
+    // Task granularity: one-task-per-segment gives |segments| tasks — on a
+    // cluster whose core count approaches the segment count that is 1-2
+    // waves, and within-wave stragglers stop amortizing (the 4N level of
+    // the scaling bench measures exactly this). For SELECTIVE batches
+    // (small matched posting volume — the production query-log shape, known
+    // from the stats pass before touching any block) the kernel is sharded
+    // by query groups: each (segment, shard) task scores 1/shards of the
+    // queries, multiplying task count without ever splitting a posting
+    // list. The posting rows are replicated per shard, so sharding is
+    // gated on replicated volume staying small — a whole-vocabulary batch
+    // (matched postings ~ index size) keeps shards = 1 and the old plan.
+    val totalPostings = math.max(1L, stats.values.sum)
+    val para = spark.sparkContext.defaultParallelism
+    val nSegs = index.manifest.segments.size
+    val shardsWanted = math.max(1, math.min(8, (4 * para) / math.max(1, nSegs)))
+    val shards = math.min(shardsWanted,
+      math.max(1L, ShardedPostingsBudget / totalPostings).toInt)
+    val perLeaf: Dataset[QueryHit] = runSegments(spark, rows, shards) { (seg, post, del, shard) =>
+      val rds = readers(post, ctx) // decode memo shared across the shard's queries
+      normed.iterator.zipWithIndex.flatMap { case ((id, q), qi) =>
+        if (qi % shards != shard) Iterator.empty
+        else SegmentKernel.topK(q, rds, seg, ctx, k, None, del)
           .map(sd => QueryHit(id, sd.docId, sd.score))
       }
     }
@@ -696,43 +714,65 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     }
   }
 
-  /** Run a per-segment kernel with EXACTLY one segment per task, via an
-    * explicit modulo partitioner. (A hash cogroup of S segment-groups into S
-    * partitions is a balls-in-bins collision — some tasks get 3-4 segments
-    * while others idle, capping scaling at ~1/maxLoad.) Segment metadata is
-    * tiny and rides in the closure; sentinel rows guarantee every segment's
-    * partition runs the kernel even when no query term occurs in it
-    * (MatchAllDocs must still match there).
-    */
+  /** Replicated-posting budget for query-sharded batch kernels: sharding
+    * duplicates the matched posting rows per shard, so it only engages when
+    * shards × matched postings stays under this (selective batches — the
+    * query-log norm; a whole-vocabulary batch keeps one task per segment). */
+  private val ShardedPostingsBudget = 32000000L
+
   private def runSegments[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
       spark: SparkSession, rows: Dataset[TermPostings])(
-      kernel: (SegmentMeta, Map[String, TermPostings], Array[Int]) => Iterator[T]): Dataset[T] = {
+      kernel: (SegmentMeta, Map[String, TermPostings], Array[Int]) => Iterator[T]): Dataset[T] =
+    runSegments(spark, rows, 1)((seg, post, del, _) => kernel(seg, post, del))
+
+  /** Run a per-(segment, queryShard) kernel with EXACTLY one group per
+    * task, via an explicit partitioner. (A hash cogroup of S segment-groups
+    * into S partitions is a balls-in-bins collision — some tasks get 3-4
+    * segments while others idle, capping scaling at ~1/maxLoad.) Segment
+    * metadata is tiny and rides in the closure; sentinel rows guarantee
+    * every (segment, shard) partition runs the kernel even when no query
+    * term occurs in it (MatchAllDocs must still match there). With
+    * shards > 1 the posting rows and tombstones are replicated per shard
+    * (caller gates on volume) so each shard-task is self-contained — used
+    * by [[searchMany]] to keep task count well above the core count on
+    * selective batches.
+    */
+  private def runSegments[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
+      spark: SparkSession, rows: Dataset[TermPostings], shards: Int)(
+      kernel: (SegmentMeta, Map[String, TermPostings], Array[Int], Int) => Iterator[T]): Dataset[T] = {
     val segMetas = index.manifest.segments.map(s => s.segmentId -> s).toMap
     val maxSeg = segMetas.keys.max
-    val nParts = maxSeg + 1
+    val nSegParts = maxSeg + 1
+    val nParts = nSegParts * shards
     val partitioner = new org.apache.spark.Partitioner {
       def numPartitions: Int = nParts
-      def getPartition(key: Any): Int = key.asInstanceOf[Int] % nParts
+      def getPartition(key: Any): Int = {
+        val (sid, sh) = key.asInstanceOf[(Int, Int)]
+        (sid % nSegParts) * shards + sh
+      }
     }
+    val keys = for { sid <- segMetas.keys.toSeq; sh <- 0 until shards } yield (sid, sh)
     val sentinels = spark.sparkContext
-      .parallelize(segMetas.keys.toSeq, math.min(nParts, 32))
-      .map(sid => (sid, null: AnyRef))
+      .parallelize(keys, math.min(nParts, 32))
+      .map(k => (k, null: AnyRef))
     // tombstones ride the SAME cogroup shuffle as the posting rows: each
-    // segment's kernel sees its live-docs without any driver round-trip
-    // (|deletes| rows move, co-partitioned with their segment)
-    val delRdd = index.deleteRows(spark).rdd.map(dr => (dr.segmentId, dr: AnyRef))
-    val parted = rows.rdd.map(tp => (tp.segmentId, tp: AnyRef))
+    // shard-task sees its segment's live-docs without any driver round-trip
+    val delRdd = index.deleteRows(spark).rdd.flatMap(dr =>
+      (0 until shards).iterator.map(sh => ((dr.segmentId, sh), dr: AnyRef)))
+    val parted = rows.rdd.flatMap(tp =>
+        (0 until shards).iterator.map(sh => ((tp.segmentId, sh), tp: AnyRef)))
       .union(sentinels)
       .union(delRdd)
       .partitionBy(partitioner)
     val out = parted.mapPartitions { it =>
-      // one segment per partition by construction
+      // one (segment, shard) per partition by construction
       var seg: SegmentMeta = null
+      var shard = 0
       val post = Map.newBuilder[String, TermPostings]
       val dels = Array.newBuilder[Int]
       var any = false
-      it.foreach { case (sid, payload) =>
-        if (!any) { seg = segMetas(sid); any = true }
+      it.foreach { case ((sid, sh), payload) =>
+        if (!any) { seg = segMetas(sid); shard = sh; any = true }
         payload match {
           case tp: TermPostings => post += (tp.term -> tp)
           case dr: graft.index.DeleteRow => dels += dr.localDoc
@@ -743,7 +783,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       else {
         val d = dels.result()
         java.util.Arrays.sort(d)
-        kernel(seg, post.result(), d)
+        kernel(seg, post.result(), d, shard)
       }
     }
     spark.createDataset(out)

@@ -336,11 +336,14 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     case FuzzyPred(t, e) =>
       // no sound prefix/range exists (the first character may be edited), so
       // nothing reaches the parquet row-group stats: the filter is Spark's
-      // codegen'd levenshtein over the term column — the same metric the
-      // kernel re-check computes. Length windowing first skips the DP for
-      // the vast majority of dictionary terms.
+      // codegen'd levenshtein over the term column. The kernel re-check's
+      // banded DP counts UTF-16 units, so its distance is >= Spark's
+      // codepoint-based one — kernel-accepted terms always pass this filter
+      // (superset). The length window (Spark `length` = codepoints, query
+      // length = units) is widened by 2x the budget so unit/codepoint
+      // mismatch on non-BMP terms can never drop a kernel match.
       (org.apache.spark.sql.functions.length(col("term"))
-        .between(t.length - e, t.length + e)) &&
+        .between(t.length - 2 * e, t.length + 2 * e)) &&
         org.apache.spark.sql.functions.levenshtein(col("term"), lit(t)) <= e
   }
 

@@ -16,7 +16,8 @@ object Explain {
     val spark = CliSpark.session("graft-explain")
     val docs = spark.read.parquet(input)
     val idx = IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
-      BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = input)
+      BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true,
+        storeTermVectors = true, storeOffsets = true), inputPath = input)
     val searcher = new IndexSearcher(idx)
 
     def section(title: String)(df: org.apache.spark.sql.DataFrame): Unit = {
@@ -75,8 +76,22 @@ object Explain {
         ((col("doc_id") * 104729L % 36000L).cast("double") / 100.0 - 180.0).as("lon"))
       Geo.withinDistance(geo, "lat", "lon", 40.0, -74.0, 3000.0)
     }
-    section("SORTED_SET facet: postings sweep joined to the match set, bounded top-k") {
+    section("SORTED_SET facet from the FORWARD structure: matched docIds pushed into the TV scan") {
       searcher.facetTopTerms(spark, TermQ("dup"), 10)
+    }
+    section("fuzzy dictionary filter: codegen'd levenshtein + length window on the term column") {
+      idx.postings(spark)
+        .where(length(col("term")).between(3, 7) && levenshtein(col("term"), lit("spark")) <= 2)
+        .select("segmentId", "term", "docFreq")
+    }
+    section("geo nearest, first expanding ring: box predicates pushed to the scan") {
+      val geo = docs.select(col("doc_id"),
+        ((col("doc_id") * 7919L % 18000L).cast("double") / 100.0 - 90.0).as("lat"),
+        ((col("doc_id") * 104729L % 36000L).cast("double") / 100.0 - 180.0).as("lon"))
+      Geo.withinDistance(geo, "lat", "lon", 40.0, -74.0, 25.0)
+    }
+    section("postings-offsets highlight feed: term-pruned scan, per-block docId skip") {
+      graft.index.Highlighter.offsetsFromPostings(spark, idx, Set("spark", "join"), _ == 7L).toDF()
     }
     spark.stop()
   }

@@ -80,8 +80,13 @@ object Explain {
       searcher.facetTopTerms(spark, TermQ("dup"), 10)
     }
     section("fuzzy dictionary filter: codegen'd levenshtein + length window on the term column") {
+      // mirrors IndexSearcher.predColumn(FuzzyPred("spark", 2)) EXACTLY:
+      // code-point length window (5 ± maxEdits) + codegen'd levenshtein —
+      // the kernel path's Dataset-from-RDD lineage hides the scan from
+      // .explain, so the scan stage is reproduced standalone here
       idx.postings(spark)
-        .where(length(col("term")).between(3, 7) && levenshtein(col("term"), lit("spark")) <= 2)
+        .where(length(col("term")).between(3, 7) &&
+          levenshtein(col("term"), lit("spark")) <= 2)
         .select("segmentId", "term", "docFreq")
     }
     section("geo nearest, first expanding ring: box predicates pushed to the scan") {

@@ -83,6 +83,75 @@ object MonotonicBlock {
   }
 }
 
+/** Shared decoders of a posting block's per-occurrence streams — ONE
+  * implementation of each on-disk layout, used by the query-side readers
+  * (`TermReader`) and the compaction rewrites (`Compaction`). CheckIndex
+  * deliberately keeps its own validation walk (an integrity checker that
+  * reused the production decoder would inherit its bugs).
+  *
+  * Positions stream: per posting, freq varint deltas (first absolute, then
+  * gaps) — `core/index/freqproxtermswriterperfield.go:96-122`.
+  * Offsets stream: per occurrence varint(start - prevStart) [prevStart
+  * resets per posting] + varint(end - start) — same file, offsets branch.
+  */
+object ProxStreams {
+  /** (flat ascending positions, per-posting run starts; n(freqs)+1 entries). */
+  def decodePositions(posBytes: Array[Byte], freqs: Array[Int]): (Array[Int], Array[Int]) = {
+    var total = 0
+    var j = 0
+    while (j < freqs.length) { total += freqs(j); j += 1 }
+    val flat = new Array[Int](total)
+    val starts = new Array[Int](freqs.length + 1)
+    var p = 0
+    var w = 0
+    j = 0
+    while (j < freqs.length) {
+      starts(j) = w
+      var prev = 0
+      var k = 0
+      while (k < freqs(j)) {
+        val (delta, p2) = Varint.readUvarint(posBytes, p)
+        prev += delta.toInt
+        flat(w) = prev
+        w += 1; p = p2; k += 1
+      }
+      j += 1
+    }
+    starts(freqs.length) = w
+    (flat, starts)
+  }
+
+  /** (flat start offsets, flat end offsets, per-posting run starts). */
+  def decodeOffsets(offBytes: Array[Byte], freqs: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
+    var total = 0
+    var j = 0
+    while (j < freqs.length) { total += freqs(j); j += 1 }
+    val fs = new Array[Int](total)
+    val fe = new Array[Int](total)
+    val starts = new Array[Int](freqs.length + 1)
+    var p = 0
+    var w = 0
+    j = 0
+    while (j < freqs.length) {
+      starts(j) = w
+      var prevStart = 0
+      var k = 0
+      while (k < freqs(j)) {
+        val (ds, p1) = Varint.readUvarint(offBytes, p)
+        val (len, p2) = Varint.readUvarint(offBytes, p1)
+        val s = prevStart + ds.toInt
+        fs(w) = s
+        fe(w) = s + len.toInt
+        prevStart = s
+        w += 1; p = p2; k += 1
+      }
+      j += 1
+    }
+    starts(freqs.length) = w
+    (fs, fe, starts)
+  }
+}
+
 /** Frame-of-reference bit-packed block codec.
   *
   * Mirrors the layout idea of the reference's `BlockPackedWriter`

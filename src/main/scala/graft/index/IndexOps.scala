@@ -118,67 +118,18 @@ object IndexOps {
     try {
       val delRdd = allDels.filter(d => mergedSegs.contains(d.segmentId))
         .rdd.map(d => (d.segmentId, d.localDoc))
-      val hasPos = m.hasPositions
-      val hasOff = m.hasOffsets
 
-      Compaction.rewriteWithTombstones[TermPostings](spark,
-        readSub(s"$indexDir/postings").as[TermPostings]
-          .rdd.map(tp => ((tp.segmentId, tp.term), tp: AnyRef)),
-        delRdd, outParts) { (payload, deleted) =>
-          Compaction.rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos, hasOff).iterator
-        }
-        .write.mode("overwrite").parquet(s"$indexDir/postings/gen=$gen")
-
-      Compaction.rewriteWithTombstones[DocMeta](spark,
-        readSub(s"$indexDir/docmeta").select($"segmentId", $"docId", $"norm", $"sha").as[DocMeta]
-          .rdd.map(d => ((d.segmentId, "%019d".format(d.docId)), d: AnyRef)),
-        delRdd, outParts) { (payload, deleted) =>
-          val d = payload.asInstanceOf[DocMeta]
-          val local = (d.docId - d.segmentId.toLong * segSize).toInt
-          val shift = Compaction.deletedAtOrBelow(deleted, local)
-          if (shift >= 0)
-            Iterator.single(DocMeta(d.segmentId,
-              d.segmentId.toLong * segSize + (local - shift), d.norm, d.sha))
-          else Iterator.empty
-        }
-        .write.mode("overwrite").parquet(s"$indexDir/docmeta/gen=$gen")
-
-      if (m.hasTermVectors) {
-        Compaction.rewriteWithTombstones[TermVectorRow](spark,
-          readSub(s"$indexDir/termvectors")
-            .select($"docId", $"term", $"freq", $"positions", $"startOffsets", $"endOffsets")
-            .as[TermVectorRow]
-            .rdd.map(tv => (((tv.docId / segSize).toInt, "%019d".format(tv.docId)), tv: AnyRef)),
-          delRdd, outParts) { (payload, deleted) =>
-            val tv = payload.asInstanceOf[TermVectorRow]
-            val seg = (tv.docId / segSize).toInt
-            val local = (tv.docId - seg.toLong * segSize).toInt
-            val shift = Compaction.deletedAtOrBelow(deleted, local)
-            if (shift >= 0)
-              Iterator.single(tv.copy(docId = seg.toLong * segSize + (local - shift)))
-            else Iterator.empty
-          }
-          .write.mode("overwrite").parquet(s"$indexDir/termvectors/gen=$gen")
-      }
-
-      // ---- recompute stats for the MERGED segments only -------------------
-      val newPostings = spark.read.parquet(s"$indexDir/postings/gen=$gen")
-      val newDocmeta = spark.read.parquet(s"$indexDir/docmeta/gen=$gen")
-      val postAgg = newPostings.groupBy("segmentId")
-        .agg(sum("docFreq").as("sdf"), sum("totalTermFreq").as("sttf"), count(lit(1)).as("tc"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-      val docAgg = newDocmeta.groupBy("segmentId")
-        .agg(count(lit(1)).as("dc"), sum(when(col("norm") > 0, 1L).otherwise(0L)).as("fdc"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // the SAME shared rewrite + stats recompute as forceMerge, over the
+      // candidate-gen subset (identical semantics by construction)
+      Compaction.rewriteGeneration(spark, indexDir, gen, segSize, m,
+        readSub(s"$indexDir/postings"), readSub(s"$indexDir/docmeta"),
+        if (m.hasTermVectors) readSub(s"$indexDir/termvectors") else null,
+        delRdd, outParts)
+      val (postAgg, docAgg) = Compaction.recomputeSegStats(spark, indexDir, gen)
       val segs = m.segments.flatMap { s =>
         if (!mergedSegs.contains(s.segmentId)) Some(s)
-        else docAgg.get(s.segmentId).map { case (dc, fdc) =>
-          val (sdf, sttf, tc) = postAgg.getOrElse(s.segmentId, (0L, 0L, 0L))
-          s.copy(docCount = dc, fieldDocCount = fdc, sumTotalTermFreq = sttf,
-            sumDocFreq = sdf, termCount = tc, postingCount = sdf,
-            lineageSha = IndexBuilder.sha256Hex(s"${s.segmentId}:${s.docBase}:$dc:$sttf:tiered$gen"))
-        } // merged segments whose docs were ALL deleted drop out
-      }
+        else Compaction.correctedMeta(s, postAgg, docAgg, s"tiered$gen")
+      } // merged segments whose docs were ALL deleted drop out
       val stats = IndexStats(
         docCount = segs.map(_.docCount).sum,
         fieldDocCount = segs.map(_.fieldDocCount).sum,
@@ -268,67 +219,19 @@ object IndexOps {
     // ONE implementation of that discipline serves postings, docmeta, and
     // term vectors (Compaction.rewriteWithTombstones).
     val delRdd = idx.deleteRows(spark).rdd.map(d => (d.segmentId, d.localDoc))
-    val hasPos = m.hasPositions
-    val hasOff = m.hasOffsets
 
-    // ---- postings: drop deleted postings, remap locals, re-encode --------
-    Compaction.rewriteWithTombstones[TermPostings](spark,
-      idx.postings(spark).as[TermPostings].rdd.map(tp => ((tp.segmentId, tp.term), tp: AnyRef)),
-      delRdd, outParts) { (payload, deleted) =>
-        Compaction.rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos, hasOff).iterator
-      }
-      .write.mode("overwrite").parquet(s"$indexDir/postings/gen=$gen")
-
-    // ---- docmeta: drop tombstoned rows, remap docIds ---------------------
-    Compaction.rewriteWithTombstones[DocMeta](spark,
-      idx.docmeta(spark).select($"segmentId", $"docId", $"norm", $"sha").as[DocMeta]
-        .rdd.map(d => ((d.segmentId, "%019d".format(d.docId)), d: AnyRef)),
-      delRdd, outParts) { (payload, deleted) =>
-        val d = payload.asInstanceOf[DocMeta]
-        val local = (d.docId - d.segmentId.toLong * segSize).toInt
-        val shift = Compaction.deletedAtOrBelow(deleted, local)
-        if (shift >= 0) // negative = the doc itself is tombstoned
-          Iterator.single(DocMeta(d.segmentId,
-            d.segmentId.toLong * segSize + (local - shift), d.norm, d.sha))
-        else Iterator.empty
-      }
-      .write.mode("overwrite").parquet(s"$indexDir/docmeta/gen=$gen")
-
-    // ---- term vectors (when present): drop tombstoned docs, remap docIds --
-    if (m.hasTermVectors) {
-      Compaction.rewriteWithTombstones[TermVectorRow](spark,
-        TermVectors.readAll(spark, idx).rdd
-          .map(tv => (((tv.docId / segSize).toInt, "%019d".format(tv.docId)), tv: AnyRef)),
-        delRdd, outParts) { (payload, deleted) =>
-          val tv = payload.asInstanceOf[TermVectorRow]
-          val seg = (tv.docId / segSize).toInt
-          val local = (tv.docId - seg.toLong * segSize).toInt
-          val shift = Compaction.deletedAtOrBelow(deleted, local)
-          if (shift >= 0)
-            Iterator.single(tv.copy(docId = seg.toLong * segSize + (local - shift)))
-          else Iterator.empty
-        }
-        .write.mode("overwrite").parquet(s"$indexDir/termvectors/gen=$gen")
-    }
-
-    // ---- recompute per-segment stats from the compacted data -------------
-    val newPostings = spark.read.parquet(s"$indexDir/postings/gen=$gen")
-    val newDocmeta = spark.read.parquet(s"$indexDir/docmeta/gen=$gen")
-    val postAgg = newPostings.groupBy("segmentId")
-      .agg(sum("docFreq").as("sdf"), sum("totalTermFreq").as("sttf"),
-        count(lit(1)).as("tc"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val docAgg = newDocmeta.groupBy("segmentId")
-      .agg(count(lit(1)).as("dc"), sum(when(col("norm") > 0, 1L).otherwise(0L)).as("fdc"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val segs = m.segments.flatMap { s =>
-      docAgg.get(s.segmentId).map { case (dc, fdc) =>
-        val (sdf, sttf, tc) = postAgg.getOrElse(s.segmentId, (0L, 0L, 0L))
-        s.copy(docCount = dc, fieldDocCount = fdc, sumTotalTermFreq = sttf,
-          sumDocFreq = sdf, termCount = tc, postingCount = sdf,
-          lineageSha = IndexBuilder.sha256Hex(s"${s.segmentId}:${s.docBase}:$dc:$sttf:merged$gen"))
-      } // segments whose docs were ALL deleted drop out of the manifest
-    }
+    // one shared rewrite (postings + docmeta + TV) and one shared stats
+    // recompute serve BOTH compaction paths — forceMerge (all live gens)
+    // and maybeMerge (a size-floored subset) must stay semantically
+    // identical by construction, not by parallel maintenance
+    Compaction.rewriteGeneration(spark, indexDir, gen, segSize, m,
+      idx.postings(spark), idx.docmeta(spark),
+      if (m.hasTermVectors) idx.termVectorsDf(spark) else null,
+      delRdd, outParts)
+    val (postAgg, docAgg) = Compaction.recomputeSegStats(spark, indexDir, gen)
+    val segs = m.segments.flatMap(
+      Compaction.correctedMeta(_, postAgg, docAgg, s"merged$gen"))
+    // segments whose docs were ALL deleted drop out of the manifest
     val stats = IndexStats(
       docCount = segs.map(_.docCount).sum,
       fieldDocCount = segs.map(_.fieldDocCount).sum,
@@ -381,6 +284,81 @@ private[index] object Compaction {
     if (i >= 0) -1 else -(i + 1)
   }
 
+  /** Rewrite ONE target generation (postings + docmeta + term vectors when
+    * present) from the given source frames, applying tombstones with the
+    * dense docId remap — the single implementation behind forceMerge (all
+    * live generations) and maybeMerge (a size-floored subset). `tvDf` may
+    * be null when the manifest has no term vectors. */
+  def rewriteGeneration(spark: SparkSession, indexDir: String, gen: Long, segSize: Long,
+                        m: Manifest, postingsDf: DataFrame, docmetaDf: DataFrame,
+                        tvDf: DataFrame,
+                        delRdd: org.apache.spark.rdd.RDD[(Int, Int)], outParts: Int): Unit = {
+    import spark.implicits._
+    val hasPos = m.hasPositions
+    val hasOff = m.hasOffsets
+    rewriteWithTombstones[TermPostings](spark,
+      postingsDf.as[TermPostings].rdd.map(tp => ((tp.segmentId, tp.term), tp: AnyRef)),
+      delRdd, outParts) { (payload, deleted) =>
+        rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos, hasOff).iterator
+      }
+      .write.mode("overwrite").parquet(s"$indexDir/postings/gen=$gen")
+    rewriteWithTombstones[DocMeta](spark,
+      docmetaDf.select($"segmentId", $"docId", $"norm", $"sha").as[DocMeta]
+        .rdd.map(d => ((d.segmentId, "%019d".format(d.docId)), d: AnyRef)),
+      delRdd, outParts) { (payload, deleted) =>
+        val d = payload.asInstanceOf[DocMeta]
+        val local = (d.docId - d.segmentId.toLong * segSize).toInt
+        val shift = deletedAtOrBelow(deleted, local)
+        if (shift >= 0) // negative = the doc itself is tombstoned
+          Iterator.single(DocMeta(d.segmentId,
+            d.segmentId.toLong * segSize + (local - shift), d.norm, d.sha))
+        else Iterator.empty
+      }
+      .write.mode("overwrite").parquet(s"$indexDir/docmeta/gen=$gen")
+    if (m.hasTermVectors) {
+      rewriteWithTombstones[TermVectorRow](spark,
+        tvDf.select($"docId", $"term", $"freq", $"positions", $"startOffsets", $"endOffsets")
+          .as[TermVectorRow]
+          .rdd.map(tv => (((tv.docId / segSize).toInt, "%019d".format(tv.docId)), tv: AnyRef)),
+        delRdd, outParts) { (payload, deleted) =>
+          val tv = payload.asInstanceOf[TermVectorRow]
+          val seg = (tv.docId / segSize).toInt
+          val local = (tv.docId - seg.toLong * segSize).toInt
+          val shift = deletedAtOrBelow(deleted, local)
+          if (shift >= 0)
+            Iterator.single(tv.copy(docId = seg.toLong * segSize + (local - shift)))
+          else Iterator.empty
+        }
+        .write.mode("overwrite").parquet(s"$indexDir/termvectors/gen=$gen")
+    }
+  }
+
+  /** Per-segment stats re-aggregated from a freshly written generation. */
+  def recomputeSegStats(spark: SparkSession, indexDir: String, gen: Long)
+      : (Map[Int, (Long, Long, Long)], Map[Int, (Long, Long)]) = {
+    import org.apache.spark.sql.functions._
+    val postAgg = spark.read.parquet(s"$indexDir/postings/gen=$gen")
+      .groupBy("segmentId")
+      .agg(sum("docFreq").as("sdf"), sum("totalTermFreq").as("sttf"), count(lit(1)).as("tc"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docAgg = spark.read.parquet(s"$indexDir/docmeta/gen=$gen")
+      .groupBy("segmentId")
+      .agg(count(lit(1)).as("dc"), sum(when(col("norm") > 0, 1L).otherwise(0L)).as("fdc"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (postAgg, docAgg)
+  }
+
+  /** Corrected SegmentMeta of a rewritten segment (None = every doc of the
+    * segment was tombstoned — it leaves the manifest). */
+  def correctedMeta(s: SegmentMeta, postAgg: Map[Int, (Long, Long, Long)],
+                    docAgg: Map[Int, (Long, Long)], saltTag: String): Option[SegmentMeta] =
+    docAgg.get(s.segmentId).map { case (dc, fdc) =>
+      val (sdf, sttf, tc) = postAgg.getOrElse(s.segmentId, (0L, 0L, 0L))
+      s.copy(docCount = dc, fieldDocCount = fdc, sumTotalTermFreq = sttf,
+        sumDocFreq = sdf, termCount = tc, postingCount = sdf,
+        lineageSha = IndexBuilder.sha256Hex(s"${s.segmentId}:${s.docBase}:$dc:$sttf:$saltTag"))
+    }
+
   /** The tombstone-ahead streaming rewrite: `data` rows keyed by
     * (segmentId, sortKey) shuffle TOGETHER with the tombstones, which sort
     * FIRST within each segment ((seg, tag, key) composite; tag 0 =
@@ -430,63 +408,10 @@ private[index] object Compaction {
     spark.createDataset(out)
   }
 
-  /** Decode a block's prox stream into (flat positions, per-posting starts). */
-  private def decodePositions(b: PostingBlock, freqs: Array[Long]): (Array[Int], Array[Int]) = {
-    require(b.posBytes != null, "forceMerge on a positions index requires posBytes in every block")
-    var total = 0
-    var j = 0
-    while (j < freqs.length) { total += freqs(j).toInt; j += 1 }
-    val flat = new Array[Int](total)
-    val starts = new Array[Int](freqs.length + 1)
-    var p = 0
-    var w = 0
-    j = 0
-    while (j < freqs.length) {
-      starts(j) = w
-      var prev = 0
-      var k = 0
-      while (k < freqs(j).toInt) {
-        val (d, p2) = graft.codec.Varint.readUvarint(b.posBytes, p)
-        prev += d.toInt; flat(w) = prev; w += 1; p = p2; k += 1
-      }
-      j += 1
-    }
-    starts(freqs.length) = w
-    (flat, starts)
-  }
-
-  /** Decode a block's offsets stream into interleaved (start, end) pairs
-    * plus per-posting run starts (pair indices). */
-  private def decodeOffsets(b: PostingBlock, freqs: Array[Long]): (Array[Int], Array[Int]) = {
-    require(b.offBytes != null, "forceMerge on an offsets index requires offBytes in every block")
-    var total = 0
-    var j = 0
-    while (j < freqs.length) { total += freqs(j).toInt; j += 1 }
-    val pairs = new Array[Int](total * 2)
-    val starts = new Array[Int](freqs.length + 1)
-    var p = 0
-    var w = 0
-    j = 0
-    while (j < freqs.length) {
-      starts(j) = w
-      var prevStart = 0
-      var k = 0
-      while (k < freqs(j).toInt) {
-        val (ds, p1) = graft.codec.Varint.readUvarint(b.offBytes, p)
-        val (len, p2) = graft.codec.Varint.readUvarint(b.offBytes, p1)
-        val s = prevStart + ds.toInt
-        pairs(2 * w) = s; pairs(2 * w + 1) = s + len.toInt
-        prevStart = s
-        w += 1; p = p2; k += 1
-      }
-      j += 1
-    }
-    starts(freqs.length) = w
-    (pairs, starts)
-  }
-
   /** Rewrite one term's posting list against the segment's sorted tombstone
-    * array; None when every posting was tombstoned. */
+    * array; None when every posting was tombstoned. Prox/offsets streams
+    * decode through the SAME [[graft.codec.ProxStreams]] the query readers
+    * use — one implementation per on-disk layout. */
   def rewriteTerm(tp: TermPostings, deleted: Array[Int], hasPos: Boolean,
                   hasOff: Boolean = false): Option[TermPostings] = {
     if (deleted.isEmpty) return Some(tp) // untouched segment: bytes move as-is
@@ -499,8 +424,14 @@ private[index] object Compaction {
     tp.blocks.foreach { blk =>
       val docs = graft.codec.MonotonicBlock.decode(blk.docBytes)
       val freqs = graft.codec.ForBlock.decode(blk.freqBytes)
-      val pos = if (hasPos) decodePositions(blk, freqs) else null
-      val off = if (hasOff) decodeOffsets(blk, freqs) else null
+      val freqsI = { val a = new Array[Int](freqs.length); var q = 0
+        while (q < freqs.length) { a(q) = freqs(q).toInt; q += 1 }; a }
+      require(!hasPos || blk.posBytes != null,
+        "compaction on a positions index requires posBytes in every block")
+      require(!hasOff || blk.offBytes != null,
+        "compaction on an offsets index requires offBytes in every block")
+      val pos = if (hasPos) graft.codec.ProxStreams.decodePositions(blk.posBytes, freqsI) else null
+      val off = if (hasOff) graft.codec.ProxStreams.decodeOffsets(blk.offBytes, freqsI) else null
       var i = 0
       while (i < docs.length) {
         val local = docs(i).toInt
@@ -516,9 +447,9 @@ private[index] object Compaction {
             while (k < starts(i + 1)) { posB.add(flat(k)); k += 1 }
           }
           if (hasOff) {
-            val (pairs, starts) = off
+            val (fs, fe, starts) = off
             var k = starts(i)
-            while (k < starts(i + 1)) { offB.add(pairs(2 * k)); offB.add(pairs(2 * k + 1)); k += 1 }
+            while (k < starts(i + 1)) { offB.add(fs(k)); offB.add(fe(k)); k += 1 }
           }
         }
         i += 1

@@ -91,9 +91,16 @@ object Geo {
     // half the Earth's circumference bounds every great-circle distance;
     // past it the box is the whole planet and probing adds nothing
     val maxR = math.Pi * EarthRadiusKm
+    // ranking is by 6dp-ROUNDED distance then id, so a doc just OUTSIDE
+    // the ring could tie a doc at the boundary after rounding and win on
+    // id. Accepting a ring only when k hits sit at least two rounding
+    // quanta INSIDE it guarantees every outside doc rounds strictly above
+    // the k-th hit — the ring's top-k is then the global top-k under the
+    // exact tie-break, not just up to boundary ties.
+    val margin = 2e-6
     while (r < maxR) {
       val ring = withinDistance(df, latCol, lonCol, lat2, lon2, r)
-      if (ring.limit(k).count() >= k)
+      if (ring.where(col("dist_km") <= r - margin).limit(k).count() >= k)
         return ring.orderBy(round(col("dist_km"), 6).asc, col(idCol).asc).limit(k)
       r *= 4
     }

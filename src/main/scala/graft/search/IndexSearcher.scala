@@ -336,14 +336,14 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     case FuzzyPred(t, e) =>
       // no sound prefix/range exists (the first character may be edited), so
       // nothing reaches the parquet row-group stats: the filter is Spark's
-      // codegen'd levenshtein over the term column. The kernel re-check's
-      // banded DP counts UTF-16 units, so its distance is >= Spark's
-      // codepoint-based one — kernel-accepted terms always pass this filter
-      // (superset). The length window (Spark `length` = codepoints, query
-      // length = units) is widened by 2x the budget so unit/codepoint
-      // mismatch on non-BMP terms can never drop a kernel match.
+      // codegen'd levenshtein over the term column — the SAME code-point
+      // metric the kernel's banded DP re-checks (and DuckDB's oracle
+      // computes), so the filter is exact, not merely a superset. The
+      // length window (code points on both sides) skips the levenshtein
+      // for the vast majority of dictionary terms.
+      val cpLen = t.codePointCount(0, t.length)
       (org.apache.spark.sql.functions.length(col("term"))
-        .between(t.length - 2 * e, t.length + 2 * e)) &&
+        .between(cpLen - e, cpLen + e)) &&
         org.apache.spark.sql.functions.levenshtein(col("term"), lit(t)) <= e
   }
 
@@ -642,7 +642,12 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
         if (sample.length <= maxPushdownIds)
           tv.where(col("doc_id").isin(sample.map(Long.box): _*))
         else
-          tv.join(org.apache.spark.sql.functions.broadcast(matches), "doc_id")
+          // hot query: UNHINTED join — the match set is unbounded (MatchAll
+          // on 10^12 docs), so Catalyst must stay free to pick a shuffle
+          // join; a broadcast hint would collect the whole match set to the
+          // driver and hit the broadcast hard limit exactly on the queries
+          // this branch exists for. Still never decodes postings.
+          tv.join(matches, "doc_id")
       } else {
         val segSize = index.segmentSize
         index.postings(spark).as[TermPostings]

@@ -127,15 +127,22 @@ final case class RangePred(lo: Option[String], hi: Option[String],
   }
 }
 final case class FuzzyPred(term: String, maxEdits: Int) extends TermPredicate {
-  /** Banded two-row Levenshtein with per-row early exit: O(|a|·|b|) worst
-    * case but abandons a candidate as soon as every cell of a row exceeds
-    * maxEdits — the cheap scalar stand-in for Lucene's Levenshtein
-    * automaton (which intersects the FST; our dictionary is a parquet
-    * column, so the scan-side filter is Spark's codegen'd `levenshtein`
-    * and this is the kernel-side exact re-check). */
+  // the query term's CODE POINTS, computed once (the closure ships the
+  // string; each task materializes this lazily)
+  @transient private lazy val termCps: Array[Int] = FuzzyPred.codePoints(term)
+
+  /** Banded two-row Levenshtein over CODE POINTS with per-row early exit:
+    * O(|a|·|b|) worst case but abandons a candidate as soon as every cell
+    * of a row exceeds maxEdits — the cheap scalar stand-in for Lucene's
+    * Levenshtein automaton (which intersects the FST; our dictionary is a
+    * parquet column, so the scan-side filter is Spark's codegen'd
+    * `levenshtein` and this is the kernel-side exact re-check). Code
+    * points, not UTF-16 units: Spark's levenshtein, DuckDB's, and Lucene's
+    * all count code points, and the three must agree on every term —
+    * including supplementary-plane ones. */
   def matches(t: String): Boolean = {
-    val a = term
-    val b = t
+    val a = termCps
+    val b = FuzzyPred.codePoints(t)
     if (math.abs(a.length - b.length) > maxEdits) return false
     if (a.length == 0) return b.length <= maxEdits
     var prev = Array.tabulate(b.length + 1)(identity)
@@ -146,7 +153,7 @@ final case class FuzzyPred(term: String, maxEdits: Int) extends TermPredicate {
       var rowMin = curr(0)
       var j = 1
       while (j <= b.length) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
         var v = prev(j - 1) + cost
         if (prev(j) + 1 < v) v = prev(j) + 1
         if (curr(j - 1) + 1 < v) v = curr(j - 1) + 1
@@ -159,6 +166,21 @@ final case class FuzzyPred(term: String, maxEdits: Int) extends TermPredicate {
       i += 1
     }
     prev(b.length) <= maxEdits
+  }
+}
+
+object FuzzyPred {
+  private[search] def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var w = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(w) = cp
+      w += 1
+      i += Character.charCount(cp)
+    }
+    out
   }
 }
 

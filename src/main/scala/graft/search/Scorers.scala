@@ -108,30 +108,7 @@ final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
       if (blk.posBytes == null)
         throw new IllegalStateException(
           s"term '${tp.term}': index has no positions stream — build with BuildConfig.storePositions=true to run phrase queries")
-      val freqs = freqsOf(bi)
-      var total = 0
-      var j = 0
-      while (j < freqs.length) { total += freqs(j).toInt; j += 1 }
-      val flat = new Array[Int](total)
-      val starts = new Array[Int](freqs.length + 1)
-      var p = 0
-      var w = 0
-      j = 0
-      while (j < freqs.length) {
-        starts(j) = w
-        var prev = 0
-        var k = 0
-        val f = freqs(j).toInt
-        while (k < f) {
-          val (delta, p2) = graft.codec.Varint.readUvarint(blk.posBytes, p)
-          prev += delta.toInt
-          flat(w) = prev
-          w += 1; p = p2; k += 1
-        }
-        j += 1
-      }
-      starts(freqs.length) = w
-      m = (flat, starts)
+      m = graft.codec.ProxStreams.decodePositions(blk.posBytes, freqsOf(bi))
       memoPos(bi) = m
     }
     m
@@ -150,33 +127,7 @@ final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
       if (blk.offBytes == null)
         throw new IllegalStateException(
           s"term '${tp.term}': index has no offsets stream — build with BuildConfig.storeOffsets=true")
-      val freqs = freqsOf(bi)
-      var total = 0
-      var j = 0
-      while (j < freqs.length) { total += freqs(j); j += 1 }
-      val fs = new Array[Int](total)
-      val fe = new Array[Int](total)
-      val starts = new Array[Int](freqs.length + 1)
-      var p = 0
-      var w = 0
-      j = 0
-      while (j < freqs.length) {
-        starts(j) = w
-        var prevStart = 0
-        var k = 0
-        while (k < freqs(j)) {
-          val (ds, p1) = graft.codec.Varint.readUvarint(blk.offBytes, p)
-          val (len, p2) = graft.codec.Varint.readUvarint(blk.offBytes, p1)
-          val s = prevStart + ds.toInt
-          fs(w) = s
-          fe(w) = s + len.toInt
-          prevStart = s
-          w += 1; p = p2; k += 1
-        }
-        j += 1
-      }
-      starts(freqs.length) = w
-      m = (fs, fe, starts)
+      m = graft.codec.ProxStreams.decodeOffsets(blk.offBytes, freqsOf(bi))
       memoOff(bi) = m
     }
     m

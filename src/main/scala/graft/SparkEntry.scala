@@ -491,6 +491,39 @@ object SparkEntry {
         .orderBy(col("s").desc, col("doc_id").asc)
         .select(col("sha"), round(col("s"), 6).as("score"))
     }),
+    // tiered-merge lifecycle (TieredMergePolicy role): three generations
+    // (build <256, append 256..383, append 384..499), delete-by-term, then
+    // maybeMerge with a floor that compacts ONLY the two small append
+    // generations — their tombstones reclaim (stats corrected), the big
+    // generation keeps Lucene's ghost stats. Hits keyed by content sha
+    // (docIDs remap within merged segments); the oracle reproduces the
+    // MIXED statistics exactly: stat corpus = all docs < 256 plus live
+    // docs >= 256
+    "q62_tiered_merge" -> ((spark: SparkSession, sfDir: String) => {
+      val docsPath = s"$sfDir/documents.parquet"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-tm-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val cfg = BuildConfig(numSegments = 2, chunkDocs = 128)
+      val merged = graft.index.IndexIO.readManifest(spark, dir) match {
+        // committed end state: gens 2+3 dead, one merge generation on top
+        case Some(mm) if mm.deadGens == Seq(2L, 3L) && mm.generation == 4L =>
+          new BuiltIndex(dir, mm)
+        case _ =>
+          val docs = spark.read.parquet(docsPath)
+          IndexBuilder.build(spark, docs.where(col("doc_id") < 256), "doc_id", "text", dir, cfg)
+          IndexBuilder.append(spark,
+            docs.where(col("doc_id") >= 256 && col("doc_id") < 384), "doc_id", "text", dir, cfg)
+          IndexBuilder.append(spark, docs.where(col("doc_id") >= 384), "doc_id", "text", dir, cfg)
+          graft.index.IndexOps.deleteByTerm(spark, dir, "dup")
+          val floor = graft.index.IndexIO.dirBytes(spark, s"$dir/postings/gen=1")
+          graft.index.IndexOps.maybeMerge(spark, dir,
+            graft.index.IndexOps.MergePolicy(smallGenBytes = floor))
+      }
+      val s = new IndexSearcher(merged)
+      val hits = s.search(spark, TermQ("join"), 10).toDF("doc_id", "s")
+      hits.join(merged.docmeta(spark).select(col("docId").as("doc_id"), col("sha")), "doc_id")
+        .orderBy(col("s").desc, col("doc_id").asc)
+        .select(col("sha"), round(col("s"), 6).as("score"))
+    }),
     // PointInSetQuery analogue: numeric doc-value IN-set filter (isin
     // pushdown) over BM25 matches
     "q47_point_in_set" -> ((spark: SparkSession, sfDir: String) => {
@@ -1080,6 +1113,40 @@ object SparkEntry {
            |)
            |SELECT sha256(d.text) AS sha, round(h.s, 6) AS score
            |FROM hits h JOIN live d USING (doc_id)
+           |ORDER BY h.s DESC, d.doc_id ASC LIMIT 10""".stripMargin,
+    // tiered merge: stats become MIXED — the big untouched generation
+    // (doc_id < 256) keeps its ghost docs in df/avgdl (Lucene semantics
+    // until THEIR segment merges) while the merged generations' tombstones
+    // are reclaimed. Stat corpus = docs < 256 plus live docs >= 256; hits
+    // = live docs only; sha-keyed (merged docIDs remap, monotone)
+    "q62_tiered_merge" ->
+      raw"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents
+           |), dup AS (
+           |  SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'
+           |), stat AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE doc_id < 256 OR doc_id NOT IN (SELECT doc_id FROM dup)
+           |), stok AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM stat
+           |), stf AS (
+           |  SELECT doc_id, term, count(*)::BIGINT AS freq FROM stok WHERE term <> '' GROUP BY 1, 2
+           |), sdl AS (
+           |  SELECT doc_id, count(*)::BIGINT AS len FROM stok WHERE term <> '' GROUP BY 1
+           |), sst AS (
+           |  SELECT count(*)::BIGINT AS n, sum(len)::DOUBLE / count(*) AS avgdl FROM sdl
+           |), sdf AS (
+           |  SELECT term, count(*)::BIGINT AS df FROM stf GROUP BY 1
+           |), hits AS (
+           |  SELECT stf.doc_id,
+           |    ln(1.0 + (sst.n - sdf.df + 0.5) / (sdf.df + 0.5))
+           |      - ln(1.0 + (sst.n - sdf.df + 0.5) / (sdf.df + 0.5))
+           |        / (1.0 + stf.freq * (1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * (sdl.len % 256) / sst.avgdl)))) AS s
+           |  FROM stf JOIN sdl USING (doc_id) JOIN sdf USING (term) CROSS JOIN sst
+           |  WHERE stf.term = 'join' AND stf.doc_id NOT IN (SELECT doc_id FROM dup)
+           |)
+           |SELECT sha256(d.text) AS sha, round(h.s, 6) AS score
+           |FROM hits h JOIN documents d USING (doc_id)
            |ORDER BY h.s DESC, d.doc_id ASC LIMIT 10""".stripMargin,
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",

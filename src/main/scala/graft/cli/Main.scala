@@ -24,7 +24,11 @@ object CliSpark {
 }
 
 /** Build an inverted index from a parquet table.
-  * args: <inputParquet> <indexDir> [idCol=doc_id] [contentCol=text] [numSegments=8]
+  * args: <inputParquet> <indexDir> [idCol=doc_id] [contentCol=text]
+  *       [numSegments=8] [features]
+  * `features` = comma list of `positions,offsets,termvectors` (offsets
+  * implies positions) — enables phrase/sloppy queries, postings-based
+  * highlighting, and TV-backed facets/MLT respectively.
   */
 object BuildIndex {
   def main(args: Array[String]): Unit = {
@@ -33,11 +37,16 @@ object BuildIndex {
     val idCol = if (args.length > 2) args(2) else "doc_id"
     val contentCol = if (args.length > 3) args(3) else "text"
     val numSegments = if (args.length > 4) args(4).toInt else 8
+    val features = if (args.length > 5) args(5).split(",").map(_.trim).toSet else Set.empty[String]
     val spark = CliSpark.session("graft-build")
     val df = spark.read.parquet(input)
     val t0 = System.nanoTime()
     val idx = IndexBuilder.buildOrLoad(spark, df, idCol, contentCol, indexDir,
-      BuildConfig(numSegments = numSegments), inputPath = input)
+      BuildConfig(numSegments = numSegments,
+        storePositions = features("positions") || features("offsets"),
+        storeOffsets = features("offsets"),
+        storeTermVectors = features("termvectors")),
+      inputPath = input)
     val secs = (System.nanoTime() - t0) / 1e9
     val st = idx.stats
     println(f"[graft] built gen=${idx.manifest.generation} segments=${idx.manifest.numSegments} " +
@@ -54,6 +63,9 @@ object BuildIndex {
 /** Query an index. Query syntax (one token per arg, Lucene-ish):
   * `+term` = MUST, `-term` = MUST_NOT, `term` = SHOULD, `term*` = prefix,
   * `re:<regex>` = RegexpQuery (anchored full match),
+  * `term~` / `term~1` / `term~2` = FuzzyQuery (default 2 edits),
+  * `"w1 w2"` / `"w1 w2"~3` = PhraseQuery (one shell-quoted arg; optional
+  * slop suffix — exact phrase when absent),
   * `[lo..hi]` / `[lo..hi)` / `(lo..hi]` / `(lo..hi)` = TermRangeQuery
   * (bracket = inclusive, paren = exclusive, per side).
   * args: <indexDir> <k> <query terms...>
@@ -62,9 +74,13 @@ object Search {
   // split on the FIRST `..` separator only (non-greedy lo), so bounds may
   // themselves contain dots (`[v1.2..v1.9]`); both half-open sides supported
   private val RangeRe = """([\[(])(.*?)\.\.(.*)([\])])""".r
+  private val FuzzyRe = """(.+?)~([0-2]?)""".r
+  private val PhraseRe = """"(.+)"(?:~(\d+))?""".r
 
   private def atom(t: String): Query = t match {
     case s if s.startsWith("re:") => RegexpQ(s.drop(3))
+    case PhraseRe(words, slop) =>
+      PhraseQ(words.trim.split("\\s+").toSeq, Option(slop).map(_.toInt).getOrElse(0))
     case RangeRe(open, lo, hi, close) =>
       TermRangeQ(Option(lo).filter(_.nonEmpty), Option(hi).filter(_.nonEmpty),
         includeLo = open == "[", includeHi = close == "]")
@@ -72,6 +88,8 @@ object Search {
       // looks like a range but failed to parse — don't silently TermQ it
       System.err.println(s"[graft] WARNING: '$s' looks like a range but did not parse; treating as a term")
       TermQ(s)
+    case FuzzyRe(base, edits) =>
+      FuzzyQ(base, if (edits.isEmpty) 2 else edits.toInt)
     case s if s.endsWith("*") => PrefixQ(s.dropRight(1))
     case s => TermQ(s)
   }

@@ -573,16 +573,29 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     val totalPostings = math.max(1L, stats.values.sum)
     val para = spark.sparkContext.defaultParallelism
     val nSegs = index.manifest.segments.size
+    // ~4 tasks per core: enough waves that stragglers amortize, few enough
+    // that the per-shard decode replication stays cheap (8 tasks/core was
+    // measured net-negative: +10% Σ kernel from replicated decode for no
+    // wall win)
     val shardsWanted = math.max(1, math.min(8, (4 * para) / math.max(1, nSegs)))
     val shards = math.min(shardsWanted,
       math.max(1L, ShardedPostingsBudget / totalPostings).toInt)
+    // per-task kernel CPU attribution (accumulators are ~free): Σ task
+    // kernel time is work-invariant across parallelism levels, so
+    // wall / (Σ/cores) separates engine scaling from host effects in the
+    // GRAFT_BATCH_TIMING line
+    val kernelNanos = spark.sparkContext.longAccumulator("graft-batch-kernel-nanos")
     val perLeaf: Dataset[QueryHit] = runSegments(spark, rows, shards) { (seg, post, del, shard) =>
+      val tk0 = System.nanoTime()
       val rds = readers(post, ctx) // decode memo shared across the shard's queries
-      normed.iterator.zipWithIndex.flatMap { case ((id, q), qi) =>
-        if (qi % shards != shard) Iterator.empty
-        else SegmentKernel.topK(q, rds, seg, ctx, k, None, del)
-          .map(sd => QueryHit(id, sd.docId, sd.score))
+      val out = new scala.collection.mutable.ArrayBuffer[QueryHit]()
+      normed.iterator.zipWithIndex.foreach { case ((id, q), qi) =>
+        if (qi % shards == shard)
+          SegmentKernel.topK(q, rds, seg, ctx, k, None, del)
+            .foreach(sd => out += QueryHit(id, sd.docId, sd.score))
       }
+      kernelNanos.add(System.nanoTime() - tk0)
+      out.iterator
     }
     // per-query merge ≡ MergeTopDocs; the result is small by construction
     // (≤ queries×k rows), so materialize eagerly
@@ -592,7 +605,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     val t3 = System.nanoTime()
     if (sys.env.contains("GRAFT_BATCH_TIMING"))
       System.err.println(f"[graft-batch] rewrite=${(t1 - t0) / 1e9}%.2f stats=${(t2 - t1) / 1e9}%.2f " +
-        f"kernel+merge=${(t3 - t2) / 1e9}%.2f")
+        f"kernel+merge=${(t3 - t2) / 1e9}%.2f taskKernelSum=${kernelNanos.value / 1e9}%.2f")
     spark.createDataset(merged.toSeq)
   }
 

@@ -444,6 +444,12 @@ object IndexBuilder {
       // appends preserve committed tombstones (update = delete + append)
       deleteGen = prev.map(_.deleteGen).getOrElse(0L),
       deletedCount = prev.map(_.deletedCount).getOrElse(0L),
+      // ...and the tiered-merge visibility state: dropping deadGens here
+      // would resurrect merged-away generations into [minGen, generation]
+      // (their dirs are deleted — readers would crash, or worse read stale
+      // pre-merge data in the deletion crash window)
+      deadGens = prev.map(_.deadGens).getOrElse(Nil),
+      minDeleteGen = prev.map(_.minDeleteGen).getOrElse(0L),
       lastStreamBatch =
         if (streamBatch >= 0L) streamBatch
         else prev.map(_.lastStreamBatch).getOrElse(-1L),

@@ -86,7 +86,9 @@ object IndexOps {
     val m = IndexIO.readManifest(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
     val idx = new BuiltIndex(indexDir, m)
-    val live = idx.liveGens
+    // defensive exists(): a manifest gen whose dir is gone (e.g. a legacy
+    // pre-fix manifest) must not become a zero-byte merge candidate
+    val live = idx.liveGens.filter(g => IndexIO.exists(spark, s"$indexDir/postings/gen=$g"))
     val candidates = live.filter { g =>
       IndexIO.dirBytes(spark, s"$indexDir/postings/gen=$g") < policy.smallGenBytes
     }

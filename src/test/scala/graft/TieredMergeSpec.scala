@@ -135,6 +135,36 @@ class TieredMergeSpec extends AnyFunSuite {
     assert(distinctDels == merged.manifest.deletedCount)
   }
 
+  test("merge -> append -> merge cycle: visibility, stats, and identity stay consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiered-cycle").toString
+    def appendNext(n: Int): Unit = {
+      val m = IndexIO.readManifest(spark, dir).get
+      val base = (m.segments.map(_.segmentId).max + 1).toLong * m.segmentSize
+      IndexBuilder.append(spark,
+        (base until base + n).map(i => (i, text(i))).toDF("doc_id", "text"),
+        "doc_id", "text", dir, cfg)
+    }
+    IndexBuilder.build(spark, (0L until 50L).map(i => (i, text(i))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, cfg)
+    appendNext(40); appendNext(30)
+    val all = IndexOps.MergePolicy(smallGenBytes = 1L << 30)
+    val m1 = IndexOps.maybeMerge(spark, dir, all)
+    assert(m1.liveGens == Seq(4L) && m1.manifest.deadGens == Seq(1L, 2L, 3L))
+    appendNext(25)
+    val m2 = IndexOps.maybeMerge(spark, dir, all)
+    assert(m2.liveGens == Seq(6L), s"live = ${m2.liveGens}")
+    assert(m2.manifest.deadGens.toSet == Set(1L, 2L, 3L, 4L, 5L))
+    val s = new IndexSearcher(m2)
+    assert(s.count(spark, MatchAllQ) == 145L)
+    // content identity: docmeta shas == exactly the ingested docs (ids
+    // start at each append's segment boundary; segSize rounds 50 -> 128)
+    val shas = m2.docmeta(spark).select("sha").as[String].collect().sorted.toSeq
+    val ingested = (0L until 50L) ++ (128L until 168L) ++ (256L until 286L) ++ (384L until 409L)
+    assert(shas == ingested.map(i => IndexBuilder.sha256Hex(text(i))).sorted)
+    // stats = sum of per-seg metas; alpha appears once per doc
+    assert(s.count(spark, TermQ("alpha")) == 145L)
+  }
+
   test("no-op below the merge threshold") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tiered-noop").toString
     val docs = (0L until 100L).map(i => (i, text(i)))

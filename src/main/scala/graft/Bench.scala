@@ -74,7 +74,8 @@ object Bench {
     * executor count) — see [[graft.bench.BenchLevel]]. Reuses this JVM's
     * full argument list (--add-opens, -Xmx, -D flags) and classpath.
     */
-  private def runLevel(cpus: Int, corpusPath: String, nQueries: Int, k: Int): Level = {
+  private def runLevel(cpus: Int, corpusPath: String, nQueries: Int, k: Int,
+                       nSelQueries: Int): Level = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -87,7 +88,8 @@ object Bench {
     // JVMs get their own 3g heaps from BenchLevel's configs.)
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-Xmx12g",
       "-cp", sys.props("java.class.path"), "graft.bench.BenchLevel",
-      cpus.toString, corpusPath, nQueries.toString, k.toString, benchMode)
+      cpus.toString, corpusPath, nQueries.toString, k.toString, benchMode,
+      nSelQueries.toString)
     def once(): Either[String, String] = {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.environment().put("SPARK_HOME", sparkHome) // executor launch path
@@ -132,6 +134,12 @@ object Bench {
     // corpora measure Spark constants, not engine scaling (Amdahl)
     val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "2000000").toLong
     val nQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "4000").toInt
+    // selective batch sized so the N-level wall is >= 30 s (VERDICT r4: at
+    // the worst-case row's count the selective wall was 2.5-4.9 s, a
+    // fixed-cost floor that caps the measured 8->32 ratio at ~0.33 no
+    // matter how well the engine scales). 6x the worst-case count lands
+    // the 8-core wall at ~35 s from r4's measured per-query cost.
+    val nSelQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES_SEL", (nQueries * 6).toString).toInt
     val k = 10
 
     // ---- corpus (generated once, reused across rounds) -----------------
@@ -197,8 +205,8 @@ object Bench {
     }
     var done = false
     while (!done) {
-      runs :+= ((runLevel(lvlN, corpusPath, nQueries, k),
-                 runLevel(lvl4N, corpusPath, nQueries, k)))
+      runs :+= ((runLevel(lvlN, corpusPath, nQueries, k, nSelQueries),
+                 runLevel(lvl4N, corpusPath, nQueries, k, nSelQueries)))
       val bN = best(runs.map(_._1))
       val b4 = best(runs.map(_._2))
       val eff = b4.docsPerSec / (4.0 * bN.docsPerSec)
@@ -267,8 +275,8 @@ object Bench {
     // yet saturated, so engine-code scaling is visible undistorted.
     val corroboration: Option[(Level, Level)] =
       if (math.max(buildEff, contigEff) >= 0.8 && math.max(qpsEff, qpsSelEff) >= 0.8) None
-      else Some((runLevel(2, corpusPath, nQueries, k),
-                 runLevel(8, corpusPath, nQueries, k)))
+      else Some((runLevel(2, corpusPath, nQueries, k, nSelQueries),
+                 runLevel(8, corpusPath, nQueries, k, nSelQueries)))
     val corrContigEff = corroboration.map { case (a, b) =>
       a.buildContigSecs / (4.0 * b.buildContigSecs) }
     val corrQpsEff = corroboration.map { case (a, b) => a.batchSecs / (4.0 * b.batchSecs) }
@@ -360,7 +368,32 @@ object Bench {
         ss.matchingDocs(spark, TermQ("spark")).orderBy("docId").limit(10).collect())
       val newOpTimes = Seq("facet_selective" -> facetSecs,
         "sorted_early_topk" -> seSecs, "sorted_full_scan" -> sfSecs)
-      (times ++ localTimes ++ pipeTimes ++ blendedTimes ++ newOpTimes :+ ("batch200" -> batchSecs), bs, idx.stats.docCount)
+      // sorted-index early termination AT SCALE (VERDICT r4: at sfDir size
+      // both rows above are scheduling-bound, demonstrating rank identity
+      // but not the benefit): the HOTTEST term over the 2M-doc synthetic
+      // corpus. The exhaustive row visits every match (~55% of all
+      // postings decode + ~1M ScoredDoc rows emitted); firstK stops after
+      // k matches per segment — the entire point of index sorting. The
+      // sorted index is built once and reused across rounds (manifest-gated).
+      val bigDocs = spark.read.parquet(corpusPath)
+      val sortedBigDir = s"${sys.props("java.io.tmpdir")}/graft-bench-sortedbig-$nDocs"
+      val sortedBig = graft.index.IndexIO.readManifest(spark, sortedBigDir) match {
+        case Some(m) if m.indexSort.nonEmpty => new graft.index.BuiltIndex(sortedBigDir, m)
+        case _ =>
+          IndexBuilder.buildSorted(spark, bigDocs,
+            Seq(org.apache.spark.sql.functions.length(
+                org.apache.spark.sql.functions.col("content")).desc,
+              org.apache.spark.sql.functions.col("doc_id").asc),
+            "content", sortedBigDir,
+            BuildConfig(numSegments = 64, chunkDocs = 1024, outputPartitions = Some(cpus)))
+      }
+      val sbig = new IndexSearcher(sortedBig)
+      sbig.searchSortedTopK(spark, TermQ("import"), k).collect() // warm
+      val (_, seHotSecs) = timed(sbig.searchSortedTopK(spark, TermQ("import"), k).collect())
+      val (_, sfHotSecs) = timed(
+        sbig.matchingDocs(spark, TermQ("import")).orderBy("docId").limit(k).collect())
+      val hotOpTimes = Seq("sorted_early_hot" -> seHotSecs, "sorted_full_hot" -> sfHotSecs)
+      (times ++ localTimes ++ pipeTimes ++ blendedTimes ++ newOpTimes ++ hotOpTimes :+ ("batch200" -> batchSecs), bs, idx.stats.docCount)
     } finally spark.stop()
 
     // ---- report ---------------------------------------------------------
@@ -379,8 +412,10 @@ object Bench {
       s""""build_contig_scaling_efficiency":${"%.3f".format(contigEff)},""" +
       s""""qps_n":${"%.2f".format(n8.qps)},"qps_4n":${"%.2f".format(n32.qps)},""" +
       s""""qps_scaling_efficiency":${"%.3f".format(qpsEff)},""" +
-      s""""qps_selective_n":${"%.2f".format(if (n8.batchSelSecs > 0) nQueries / n8.batchSelSecs else 0.0)},""" +
-      s""""qps_selective_4n":${"%.2f".format(if (n32.batchSelSecs > 0) nQueries / n32.batchSelSecs else 0.0)},""" +
+      s""""qps_selective_n":${"%.2f".format(if (n8.batchSelSecs > 0) nSelQueries / n8.batchSelSecs else 0.0)},""" +
+      s""""qps_selective_4n":${"%.2f".format(if (n32.batchSelSecs > 0) nSelQueries / n32.batchSelSecs else 0.0)},""" +
+      s""""sel_queries":$nSelQueries,""" +
+      s""""batch_sel_secs_n":${"%.2f".format(n8.batchSelSecs)},"batch_sel_secs_4n":${"%.2f".format(n32.batchSelSecs)},""" +
       s""""qps_selective_scaling_efficiency":${"%.3f".format(qpsSelEff)},""" +
       s""""qps_selective_scaling_efficiency_paired_best":${"%.3f".format(pairedQpsSelEff)},""" +
       s""""bench_mode":"$benchMode",""" +
@@ -403,7 +438,7 @@ object Bench {
     writeBaselineMd(nDocs, nQueries, n8, n32, buildEff, contigEff, qpsEff, rankIdentical,
       perQuery, sfDir, runs, pairedBuildEff, pairedContigEff, pairedQpsEff,
       memCeiling, corroboration, corrContigEff, corrQpsEff, aluCeiling,
-      qpsSelEff, pairedQpsSelEff, corrQpsSelEff)
+      qpsSelEff, pairedQpsSelEff, corrQpsSelEff, nSelQueries)
   }
 
   /** Map synthetic-vocab queries onto the sfDir documents vocabulary so the
@@ -441,7 +476,8 @@ object Bench {
                               aluCeiling: Double = 0.0,
                               qpsSelEff: Double = 0.0,
                               pairedQpsSelEff: Double = 0.0,
-                              corrQpsSelEff: Option[Double] = None): Unit = {
+                              corrQpsSelEff: Option[Double] = None,
+                              nSelQueries: Int = 0): Unit = {
     // per-stage table of the CONTIGUOUS build (the scaling-relevant path):
     // phases recorded by the level JVM with the best contiguous build
     val stageNames = n8.phases.collect { case (p, _) if p.startsWith("pc_") => p }
@@ -477,8 +513,11 @@ object Bench {
          |corpus takes). TWO query batches are measured: the reference set
          |(term union ≈ the WHOLE vocabulary — a deliberate worst case whose
          |cogroup moves the entire index) and the production-shaped
-         |SELECTIVE set (same $nQueries query shapes over a fixed ≤5%
-         |vocabulary sample — the query-log norm). Each level runs in its
+         |SELECTIVE set ($nSelQueries queries of the same shapes over
+         |a fixed ≤5% vocabulary sample — the query-log norm; sized 6x the
+         |worst-case count so its N-level wall is >= 30 s, clearing the
+         |fixed-cost floor that capped earlier rounds' selective ratio at
+         |~0.33 regardless of engine quality). Each level runs in its
          |own fresh driver JVM, self-warmed; builds timed once and each
          |query batch twice (min), with level processes interleaved over up
          |to ${runs.size} rounds (per-level min across rounds — the sandbox
@@ -495,7 +534,7 @@ object Bench {
          || Build, shuffled path (docs/sec) | ${"%.0f".format(n8.docsPerSec)} | ${"%.0f".format(n32.docsPerSec)} | ${"%.3f".format(buildEff)} | ≥ 0.8 |
          || Build, zero-shuffle path (docs/sec) | ${"%.0f".format(nDocs / n8.buildContigSecs)} | ${"%.0f".format(nDocs / n32.buildContigSecs)} | ${"%.3f".format(contigEff)} | ≥ 0.8 |
          || Query batch, whole-vocab worst case (QPS) | ${"%.2f".format(n8.qps)} | ${"%.2f".format(n32.qps)} | ${"%.3f".format(qpsEff)} | ≥ 0.8 |
-         || Query batch, SELECTIVE production shape (QPS) | ${"%.2f".format(if (n8.batchSelSecs > 0) nQueries / n8.batchSelSecs else 0.0)} | ${"%.2f".format(if (n32.batchSelSecs > 0) nQueries / n32.batchSelSecs else 0.0)} | ${"%.3f".format(qpsSelEff)} | ≥ 0.8 |
+         || Query batch, SELECTIVE production shape (QPS, $nSelQueries queries) | ${"%.2f".format(if (n8.batchSelSecs > 0) nSelQueries / n8.batchSelSecs else 0.0)} | ${"%.2f".format(if (n32.batchSelSecs > 0) nSelQueries / n32.batchSelSecs else 0.0)} | ${"%.3f".format(qpsSelEff)} | ≥ 0.8 |
          |
          |Per-stage wall-clock of the zero-shuffle build (best run per level)
          |— the stage whose efficiency drops is the scaling bottleneck:

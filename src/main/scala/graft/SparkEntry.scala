@@ -37,17 +37,17 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-f9-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         // small chunkDocs so even the sf-scale tables split into several
         // segments (segSize rounds up to a chunk multiple) — the verify
         // path must exercise the multi-segment merge + MergeTopDocs.
-        // Positions + term vectors + postings offsets stored so the same
-        // index serves phrase queries (q50/q59), TV/MLT (q54/q55), and
-        // postings-based highlighting (q58).
+        // Positions + term vectors + postings offsets + payloads stored so
+        // the same index serves phrase queries (q50/q59), TV/MLT (q54/q55),
+        // postings-based highlighting (q58), and payload reads (q63).
         val idx = IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
           BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true,
-            storeTermVectors = true, storeOffsets = true),
+            storeTermVectors = true, storeOffsets = true, storePayloads = true),
           inputPath = docsPath)
         new IndexSearcher(idx)
       })
@@ -65,7 +65,7 @@ object SparkEntry {
     mfCached.synchronized {
       mfCached.getOrElseUpdate(sfDir, {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-mf-f9-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         val idx = MultiFieldIndex.buildOrLoad(spark, docs, "doc_id",
           Seq("text", "lang", "source"), indexDir,
@@ -82,7 +82,7 @@ object SparkEntry {
     cached.synchronized {
       cached.getOrElseUpdate(s"$sfDir#del", {
         val docsPath = s"$sfDir/documents.parquet"
-        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+        val indexDir = s"${sys.props("java.io.tmpdir")}/graft-index-del-f9-${IndexBuilder.sha256Hex(docsPath).take(16)}"
         val docs = spark.read.parquet(docsPath)
         IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
           BuildConfig(numSegments = 4, chunkDocs = 128), inputPath = docsPath)
@@ -352,7 +352,7 @@ object SparkEntry {
     // build; certified via the per-row sha invariant at the new ids
     "q56_sorted_index" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f9-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       val docs = spark.read.parquet(docsPath)
       val idx = IndexBuilder.buildSorted(spark, docs,
         Seq(col("n_chars").desc, col("doc_id").asc), "text", dir,
@@ -365,7 +365,7 @@ object SparkEntry {
     // identity certified by the sha at each early-terminated rank
     "q61_sorted_early" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f9-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       val docs = spark.read.parquet(docsPath)
       val idx = IndexBuilder.buildSorted(spark, docs,
         Seq(col("n_chars").desc, col("doc_id").asc), "text", dir,
@@ -409,7 +409,7 @@ object SparkEntry {
     "q45_stream_stats" -> ((spark: SparkSession, sfDir: String) => {
       import spark.implicits._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f8-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-stream-f9-${IndexBuilder.sha256Hex(s"$sfDir/documents.parquet").take(16)}"
       val cfg = BuildConfig(numSegments = 2, chunkDocs = 128)
       graft.streaming.StreamingIndexer.indexBatch(spark,
         docs.where(col("doc_id") < 250), "doc_id", "text", dir, cfg, batchId = 0L)
@@ -470,7 +470,7 @@ object SparkEntry {
     // compacted docId asc, which the oracle reproduces as live-doc order.
     "q53_force_merge" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-fm-f9-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       // a committed COMPACTED state (gen > 1, minGen == generation, no
       // tombstones) is this query's end state — reuse it; buildOrLoad's
       // fingerprint can't (forceMerge rewrites corpusSha and docCount)
@@ -501,7 +501,7 @@ object SparkEntry {
     // docs >= 256
     "q62_tiered_merge" -> ((spark: SparkSession, sfDir: String) => {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-tm-f8-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-tm-f9-${IndexBuilder.sha256Hex(docsPath).take(16)}"
       val cfg = BuildConfig(numSegments = 2, chunkDocs = 128)
       val merged = graft.index.IndexIO.readManifest(spark, dir) match {
         // committed end state: gens 2+3 dead, one merge generation on top
@@ -523,6 +523,54 @@ object SparkEntry {
       hits.join(merged.docmeta(spark).select(col("docId").as("doc_id"), col("sha")), "doc_id")
         .orderBy(col("s").desc, col("doc_id").asc)
         .select(col("sha"), round(col("s"), 6).as("score"))
+    }),
+    // per-position PAYLOADS — the last IndexOptions dimension (the
+    // reference's payload slot in the prox stream,
+    // freqproxtermswriterperfield.go:96-122): the built-in payload is each
+    // occurrence's ORIGINAL (pre-lowercase) token text as UTF-8, read back
+    // per (doc, position) through the term-pruned postings scan alone
+    "q63_payloads" -> ((spark: SparkSession, sfDir: String) =>
+      graft.index.Payloads.forTerms(spark, index(spark, sfDir),
+          Set("table", "spark"), _ < 20L)
+        .select(col("docId").as("doc_id"), col("term"),
+          col("position").cast("long").as("pos"),
+          decode(col("payload"), "UTF-8").as("payload"))
+        .orderBy("doc_id", "term", "pos")),
+    // WildcardQuery sugar (the automaton package's wildcard role,
+    // automatonquery.go:26): `?` = one char, `*` = any run — translated to
+    // the anchored regex automaton, literal-prefix 'h' pushed to the scan
+    "q64_wildcard" -> topk(WildcardQ("h?sh*"), 30),
+    // field-sorted searchAfter (the PagingFieldCollector role,
+    // topfieldcollector.go:14-50): page 2 of (n_chars desc, doc_id asc) via
+    // the (lastSortValue, lastDocId) cursor — the cursor predicate prunes
+    // the field scan instead of re-reading page1+page2 rows
+    "q65_sort_after" -> ((spark: SparkSession, sfDir: String) => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val s = searcher(spark, sfDir)
+      val fields = docs.select("doc_id", "n_chars")
+      val page1 = s.searchSortByAfter(spark, TermQ("dup"), fields, "n_chars",
+        ascending = false, 10, None).select("doc_id", "n_chars").collect()
+      val cursor = (page1.last.getLong(1), page1.last.getLong(0))
+      s.searchSortByAfter(spark, TermQ("dup"), fields, "n_chars",
+        ascending = false, 10, Some(cursor)).select("doc_id", "n_chars")
+    }),
+    // sorted-index early-termination PAGING: page 2 through the docId
+    // cursor (docId order == sort order on a buildSorted index, so "after
+    // the previous page's last hit" is a plain docId lower bound each
+    // segment enters via one skip-structure advance)
+    "q66_sorted_after" -> ((spark: SparkSession, sfDir: String) => {
+      val docsPath = s"$sfDir/documents.parquet"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-sorted-f9-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val docs = spark.read.parquet(docsPath)
+      val idx = IndexBuilder.buildSorted(spark, docs,
+        Seq(col("n_chars").desc, col("doc_id").asc), "text", dir,
+        BuildConfig(numSegments = 4, chunkDocs = 128))
+      val s = new IndexSearcher(idx)
+      val page1 = s.searchSortedTopK(spark, TermQ("join"), 10).collect()
+      val hits = s.searchSortedTopK(spark, TermQ("join"), 10, Some(page1.last.docId))
+        .toDF("doc_id", "z").select("doc_id")
+      hits.join(idx.docmeta(spark).select(col("docId").as("doc_id"), col("sha")), "doc_id")
+        .orderBy("doc_id")
     }),
     // PointInSetQuery analogue: numeric doc-value IN-set filter (isin
     // pushdown) over BM25 matches
@@ -1148,6 +1196,37 @@ object SparkEntry {
            |SELECT sha256(d.text) AS sha, round(h.s, 6) AS score
            |FROM hits h JOIN documents d USING (doc_id)
            |ORDER BY h.s DESC, d.doc_id ASC LIMIT 10""".stripMargin,
+    // payloads: the engine's payload bytes must round-trip to the ORIGINAL
+    // token text — re-derived from the raw (non-lowered) text; positions are
+    // ranks among emitted (non-empty) tokens, 1-based subscripts -> -1
+    "q63_payloads" ->
+      raw"""WITH tl AS (
+           |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+           |  FROM documents WHERE doc_id < 20
+           |), pos AS (
+           |  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM tl
+           |)
+           |SELECT doc_id, lower(t) AS term, (p - 1)::BIGINT AS pos, t AS payload
+           |FROM pos WHERE lower(t) IN ('table', 'spark')
+           |ORDER BY doc_id, term, pos""".stripMargin,
+    "q64_wildcard" ->
+      s"""$base, hits AS (SELECT DISTINCT doc_id, 1.0 AS s FROM sc
+         |                WHERE regexp_full_match(term, 'h.sh.*'))
+         |${top(30)}""".stripMargin,
+    "q65_sort_after" ->
+      s"""$base, m AS (SELECT DISTINCT doc_id FROM sc WHERE term = 'dup')
+         |SELECT d.doc_id, d.n_chars FROM documents d JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10 OFFSET 10""".stripMargin,
+    "q66_sorted_after" ->
+      raw"""WITH ranked AS (
+           |  SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1)::BIGINT AS rid,
+           |         text, sha256(text) AS sha
+           |  FROM documents
+           |), tok AS (
+           |  SELECT rid, unnest(string_split_regex(lower(text), '\s+')) AS term FROM ranked
+           |), m AS (SELECT DISTINCT rid FROM tok WHERE term = 'join')
+           |SELECT ranked.rid AS doc_id, ranked.sha FROM ranked JOIN m USING (rid)
+           |ORDER BY doc_id LIMIT 10 OFFSET 10""".stripMargin,
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
     "q24_pure_negative" ->

@@ -226,6 +226,66 @@ final class Analyzer(val stopSet: Set[String] = Set.empty) extends Serializable 
     if (tokStart >= 0) flush(cpIndex)
     (m, count)
   }
+
+  /** As [[termPositionOffsetCounts]] but ALSO collecting a per-occurrence
+    * PAYLOAD — the reference's per-position payload slot
+    * (`core/index/freqproxtermswriterperfield.go:96-122` reserves a payload
+    * bit per position; `core/util/attribute` carries PayloadAttribute).
+    * Our built-in payload producer stores the ORIGINAL (pre-lowercasing)
+    * token text as UTF-8 bytes — genuine per-occurrence metadata the index
+    * otherwise loses (case-exact surface form), variable-length so the
+    * whole varint(len)+bytes codec path is exercised. `wantOffsets` toggles
+    * the offsets side stream (payloads do not require it).
+    */
+  def termPositionPayloadCounts(text: String, intern: TermIntern,
+                                wantOffsets: Boolean): (java.util.HashMap[String, ProxPayBuf], Int) = {
+    val m = new java.util.HashMap[String, ProxPayBuf]()
+    if (text == null || text.isEmpty) return (m, 0)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    var cpIndex = 0
+    var tokStart = -1      // code-point start (offsets)
+    var tokCharStart = -1  // char start (original-surface substring)
+    var count = 0
+    val n = text.length
+    @inline def flush(endCp: Int, endChar: Int): Unit = {
+      val term = if (intern == null) sb.toString else intern.intern(sb)
+      if (!stopSet.contains(term)) {
+        var b = m.get(term)
+        if (b == null) { b = new ProxPayBuf(wantOffsets); m.put(term, b) }
+        b.pos.add(count)
+        if (wantOffsets) { b.off.add(tokStart); b.off.add(endCp) }
+        val payload = text.substring(tokCharStart, endChar)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        b.payLen.add(payload.length)
+        b.pay.write(payload, 0, payload.length)
+        count += 1
+      }
+    }
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (GoWhitespace.isSpace(cp)) {
+        if (tokStart >= 0) { flush(cpIndex, i); sb.setLength(0); tokStart = -1; tokCharStart = -1 }
+      } else {
+        if (tokStart < 0) { tokStart = cpIndex; tokCharStart = i }
+        sb.appendCodePoint(lowerCp(cp))
+      }
+      i += Character.charCount(cp)
+      cpIndex += 1
+    }
+    if (tokStart >= 0) flush(cpIndex, n)
+    (m, count)
+  }
+}
+
+/** Per-term buffer of the payloads-enabled invert path: ascending positions,
+  * optional interleaved (start, end) offsets, and per-occurrence payloads
+  * (lengths + concatenated bytes, position-aligned). */
+final class ProxPayBuf(withOffsets: Boolean) {
+  val pos = new IntBuf(4)
+  val off: IntBuf = if (withOffsets) new IntBuf(8) else null
+  val payLen = new IntBuf(4)
+  val pay = new java.io.ByteArrayOutputStream(32)
 }
 
 /** Per-term buffer of the offsets-enabled invert path: ascending positions

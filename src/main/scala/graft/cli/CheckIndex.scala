@@ -71,6 +71,7 @@ object CheckIndex {
     // ---- 2. posting-list structural invariants -------------------------
     val hasPositions = manifest.hasPositions
     val hasOffsets = manifest.hasOffsets
+    val hasPayloads = manifest.hasPayloads
     val postingErrs = idx.postings(spark).as[TermPostings]
       .mapPartitions { it =>
         var errs = 0L
@@ -78,6 +79,9 @@ object CheckIndex {
           var prev = -1
           var n = 0
           var ttf = 0L
+          // termLen column = code-point length of the term (the fuzzy
+          // length-window pushdown depends on it being exact)
+          if (tp.termLen != tp.term.codePointCount(0, tp.term.length)) errs += 1
           tp.blocks.foreach { b =>
             val docs = graft.codec.MonotonicBlock.decode(b.docBytes)
             val freqs = ForBlock.decode(b.freqBytes)
@@ -137,6 +141,29 @@ object CheckIndex {
                 if (bad || p != b.offBytes.length) errs += 1
               }
             }
+            // payload stream (when declared): per occurrence varint(len) +
+            // len raw bytes, in-bounds, stream fully consumed at the end
+            if (hasPayloads) {
+              if (b.payBytes == null) errs += 1
+              else {
+                var p = 0
+                var i = 0
+                var bad = false
+                while (i < freqs.length && !bad) {
+                  var k = 0
+                  while (k < freqs(i).toInt && !bad) {
+                    try {
+                      val (len, p1) = graft.codec.Varint.readUvarint(b.payBytes, p)
+                      if (p1 + len.toInt > b.payBytes.length) bad = true // truncated payload
+                      p = p1 + len.toInt
+                    } catch { case _: ArrayIndexOutOfBoundsException => bad = true }
+                    k += 1
+                  }
+                  i += 1
+                }
+                if (bad || p != b.payBytes.length) errs += 1
+              }
+            }
           }
           if (n != tp.docFreq) errs += 1
           if (ttf != tp.totalTermFreq) errs += 1
@@ -145,7 +172,8 @@ object CheckIndex {
       }.reduce(_ + _)
     bad += postingErrs
     println(s"[graft] postings structural violations: $postingErrs" +
-      (if (hasPositions) " (incl. positions-stream checks)" else ""))
+      (if (hasPositions) " (incl. positions-stream checks)" else "") +
+      (if (hasPayloads) " (incl. payload-stream checks)" else ""))
 
     // ---- 1. manifest vs re-aggregated stats ----------------------------
     val postAgg = idx.postings(spark)

@@ -77,15 +77,28 @@ object Explain {
       Geo.withinDistance(geo, "lat", "lon", 40.0, -74.0, 3000.0)
     }
     section("SORTED_SET facet from the FORWARD structure: matched docIds pushed into the TV scan") {
-      searcher.facetTopTerms(spark, TermQ("dup"), 10)
+      // facetTopTerms materializes while its match-set cache is live (so the
+      // kernel runs once); the lazy inner aggregation carries the plan
+      val matches = searcher.matchingDocs(spark, TermQ("dup"))
+        .toDF("doc_id", "z").select("doc_id").persist()
+      val df = searcher.facetAgg(spark, matches, 10, 8192)
+      df.collect()
+      matches.unpersist(blocking = false)
+      df
     }
-    section("fuzzy dictionary filter: codegen'd levenshtein + length window on the term column") {
+    section("fuzzy dictionary filter: termLen range PUSHDOWN + codegen'd levenshtein") {
       // mirrors IndexSearcher.predColumn(FuzzyPred("spark", 2)) EXACTLY:
-      // code-point length window (5 ± maxEdits) + codegen'd levenshtein —
-      // the kernel path's Dataset-from-RDD lineage hides the scan from
-      // .explain, so the scan stage is reproduced standalone here
+      // the builder stores each term's code-point length as its own
+      // `termLen` column, so the sound length window (5 ± maxEdits) is a
+      // plain comparison that reaches parquet row-group stats
+      // (GreaterThanOrEqual/LessThanOrEqual(termLen) in PushedFilters —
+      // the sub-linear candidate generation a billion-term dictionary
+      // needs; a length(term) expression would evaluate post-scan on every
+      // row). The levenshtein then runs on the surviving slice only. The
+      // kernel path's Dataset-from-RDD lineage hides the scan from
+      // .explain, so the scan stage is reproduced standalone here.
       idx.postings(spark)
-        .where(length(col("term")).between(3, 7) &&
+        .where(col("termLen").between(3, 7) &&
           levenshtein(col("term"), lit("spark")) <= 2)
         .select("segmentId", "term", "docFreq")
     }

@@ -26,9 +26,10 @@ object CliSpark {
 /** Build an inverted index from a parquet table.
   * args: <inputParquet> <indexDir> [idCol=doc_id] [contentCol=text]
   *       [numSegments=8] [features]
-  * `features` = comma list of `positions,offsets,termvectors` (offsets
-  * implies positions) — enables phrase/sloppy queries, postings-based
-  * highlighting, and TV-backed facets/MLT respectively.
+  * `features` = comma list of `positions,offsets,payloads,termvectors,
+  * normjava` (offsets/payloads imply positions) — enables phrase/sloppy
+  * queries, postings-based highlighting, per-position payloads, TV-backed
+  * facets/MLT, and Java-Lucene SmallFloat norms respectively.
   */
 object BuildIndex {
   def main(args: Array[String]): Unit = {
@@ -43,9 +44,12 @@ object BuildIndex {
     val t0 = System.nanoTime()
     val idx = IndexBuilder.buildOrLoad(spark, df, idCol, contentCol, indexDir,
       BuildConfig(numSegments = numSegments,
-        storePositions = features("positions") || features("offsets"),
+        storePositions = features("positions") || features("offsets") || features("payloads"),
         storeOffsets = features("offsets"),
-        storeTermVectors = features("termvectors")),
+        storePayloads = features("payloads"),
+        storeTermVectors = features("termvectors"),
+        normMode = if (features("normjava")) graft.bm25.NormMode.JavaLucene
+                   else graft.bm25.NormMode.Mod256),
       inputPath = input)
     val secs = (System.nanoTime() - t0) / 1e9
     val st = idx.stats
@@ -62,6 +66,7 @@ object BuildIndex {
 
 /** Query an index. Query syntax (one token per arg, Lucene-ish):
   * `+term` = MUST, `-term` = MUST_NOT, `term` = SHOULD, `term*` = prefix,
+  * `te?m` / `t*m` (interior wildcards) = WildcardQuery,
   * `re:<regex>` = RegexpQuery (anchored full match),
   * `term~` / `term~1` / `term~2` = FuzzyQuery (default 2 edits),
   * `"w1 w2"` / `"w1 w2"~3` = PhraseQuery (one shell-quoted arg; optional
@@ -74,7 +79,7 @@ object Search {
   // split on the FIRST `..` separator only (non-greedy lo), so bounds may
   // themselves contain dots (`[v1.2..v1.9]`); both half-open sides supported
   private val RangeRe = """([\[(])(.*?)\.\.(.*)([\])])""".r
-  private val FuzzyRe = """(.+?)~([0-2]?)""".r
+  private val FuzzyRe = """(.+?)~(\d*)""".r
   private val PhraseRe = """"(.+)"(?:~(\d+))?""".r
 
   private def atom(t: String): Query = t match {
@@ -89,8 +94,16 @@ object Search {
       System.err.println(s"[graft] WARNING: '$s' looks like a range but did not parse; treating as a term")
       TermQ(s)
     case FuzzyRe(base, edits) =>
-      FuzzyQ(base, if (edits.isEmpty) 2 else edits.toInt)
-    case s if s.endsWith("*") => PrefixQ(s.dropRight(1))
+      val e = if (edits.isEmpty) 2 else edits.toInt
+      if (e > 2) {
+        // Lucene's FuzzyQuery caps maxEdits at 2; misparses must warn, not
+        // silently become a literal TermQ (mirrors the range misparse path)
+        System.err.println(s"[graft] WARNING: '$t' requests $e edits but fuzzy supports at most 2; treating as a term")
+        TermQ(t)
+      } else FuzzyQ(base, e)
+    case s if s.endsWith("*") && !s.dropRight(1).exists(c => c == '*' || c == '?') =>
+      PrefixQ(s.dropRight(1))
+    case s if s.exists(c => c == '*' || c == '?') => WildcardQ(s)
     case s => TermQ(s)
   }
 

@@ -150,6 +150,38 @@ object ProxStreams {
     starts(freqs.length) = w
     (fs, fe, starts)
   }
+
+  /** Payload stream: per occurrence varint(payloadLen) + payloadLen raw
+    * bytes, aligned with the positions stream (the reference's per-position
+    * payload encoding, `core/index/freqproxtermswriterperfield.go:96-122`:
+    * `posDelta<<1 | hasPayload` then length + bytes; our layout always
+    * writes the length, 0 = empty payload).
+    * @return (per-occurrence payload byte arrays, per-posting run starts;
+    *         n(freqs)+1 entries)
+    */
+  def decodePayloads(payBytes: Array[Byte], freqs: Array[Int]): (Array[Array[Byte]], Array[Int]) = {
+    var total = 0
+    var j = 0
+    while (j < freqs.length) { total += freqs(j); j += 1 }
+    val out = new Array[Array[Byte]](total)
+    val starts = new Array[Int](freqs.length + 1)
+    var p = 0
+    var w = 0
+    j = 0
+    while (j < freqs.length) {
+      starts(j) = w
+      var k = 0
+      while (k < freqs(j)) {
+        val (len, p1) = Varint.readUvarint(payBytes, p)
+        out(w) = java.util.Arrays.copyOfRange(payBytes, p1, p1 + len.toInt)
+        p = p1 + len.toInt
+        w += 1; k += 1
+      }
+      j += 1
+    }
+    starts(freqs.length) = w
+    (out, starts)
+  }
 }
 
 /** Frame-of-reference bit-packed block codec.

@@ -79,7 +79,22 @@ final case class BuildConfig(
       * ..._AND_OFFSETS, `core/document/indexoptions.go:3-29`) — lets
       * highlighting run from postings WITHOUT a term-vectors copy of
       * per-doc term data; implies storePositions; appends must match */
-    storeOffsets: Boolean = false)
+    storeOffsets: Boolean = false,
+    /** store per-position PAYLOADS in the postings stream — the last
+      * IndexOptions dimension (the reference's in-RAM posting encoding
+      * reserves a per-position payload bit,
+      * `core/index/freqproxtermswriterperfield.go:96-122`). The built-in
+      * payload producer stores each occurrence's ORIGINAL (pre-lowercase)
+      * token text as UTF-8 bytes (see
+      * [[graft.analysis.Analyzer.termPositionPayloadCounts]]); implies
+      * storePositions; appends must match */
+    storePayloads: Boolean = false,
+    /** norm (field-length) byte encoding — [[graft.bm25.NormMode.Mod256]]
+      * (lucene-go's raw `len & 0xFF` quirk; default, oracle parity) or
+      * [[graft.bm25.NormMode.JavaLucene]] (SmallFloat.intToByte4, Java
+      * Lucene comparability; SURVEY §2.4 Q1). Recorded in the manifest;
+      * appends must match */
+    normMode: String = graft.bm25.NormMode.Mod256)
 
 /** Spark-native inverted-index builder (SURVEY.md §7 modules 3-4).
   *
@@ -152,7 +167,26 @@ object IndexBuilder {
                   inputPath: String = ""): BuiltIndex = {
     IndexIO.readManifest(spark, indexDir) match {
       case Some(m) if inputPath.nonEmpty && m.corpusSha == indexFingerprint(inputPath, m.stats.docCount) =>
-        new BuiltIndex(indexDir, m)
+        // feature flags must match the request, not just the corpus: reusing
+        // a positions-less index for a storePositions=true request would
+        // report success here and throw at phrase-query time (and a norm-mode
+        // mismatch would silently score wrong). Mirror the append-match
+        // requires: rebuild on mismatch, loudly.
+        val featuresMatch =
+          m.hasPositions == cfg.storePositions &&
+            m.hasTermVectors == cfg.storeTermVectors &&
+            m.hasOffsets == cfg.storeOffsets &&
+            m.hasPayloads == cfg.storePayloads &&
+            m.normMode == cfg.normMode
+        if (featuresMatch) new BuiltIndex(indexDir, m)
+        else {
+          System.err.println(s"[graft-build] index at $indexDir matches the corpus but not the " +
+            s"requested features (committed pos=${m.hasPositions} tv=${m.hasTermVectors} " +
+            s"off=${m.hasOffsets} pay=${m.hasPayloads} norm=${m.normMode}; requested " +
+            s"pos=${cfg.storePositions} tv=${cfg.storeTermVectors} off=${cfg.storeOffsets} " +
+            s"pay=${cfg.storePayloads} norm=${cfg.normMode}) — rebuilding")
+          build(spark, docs, docIdCol, contentCol, indexDir, cfg, inputPath)
+        }
       case _ => build(spark, docs, docIdCol, contentCol, indexDir, cfg, inputPath)
     }
   }
@@ -238,6 +272,9 @@ object IndexBuilder {
     require(cfg.chunkDocs % PostingBlock.Size == 0, "chunkDocs must be a multiple of block size")
     require(!cfg.storeOffsets || cfg.storePositions,
       "storeOffsets implies storePositions (IndexOptions ..._AND_OFFSETS extends ..._AND_POSITIONS)")
+    require(!cfg.storePayloads || cfg.storePositions,
+      "storePayloads implies storePositions (payloads are per-position metadata)")
+    graft.bm25.NormMode.lengthTable(cfg.normMode) // fail fast on an unknown mode
 
     val input: Dataset[(Long, String)] =
       docs.select(col(docIdCol).cast("long").as("_1"), col(contentCol).cast("string").as("_2"))
@@ -323,8 +360,10 @@ object IndexBuilder {
         // interleave, so a violated layout contract FAILS the build.
         val storePos = cfg.storePositions
         val storeOff = cfg.storeOffsets
+        val storePay = cfg.storePayloads
+        val normMode = cfg.normMode
         input.rdd.mapPartitions { it =>
-          invertChunks(it, analyzer, segSizeL, chunkDocs, storePos, storeOff)
+          invertChunks(it, analyzer, segSizeL, chunkDocs, storePos, storeOff, storePay, normMode)
         }
       } else {
         val partitioner = new org.apache.spark.Partitioner {
@@ -334,9 +373,12 @@ object IndexBuilder {
         }
         val storePos = cfg.storePositions
         val storeOff = cfg.storeOffsets
+        val storePay = cfg.storePayloads
+        val normMode = cfg.normMode
         input.rdd
           .repartitionAndSortWithinPartitions(partitioner)
-          .mapPartitions(it => invertChunks(it, analyzer, segSizeL, chunkDocs, storePos, storeOff))
+          .mapPartitions(it =>
+            invertChunks(it, analyzer, segSizeL, chunkDocs, storePos, storeOff, storePay, normMode))
       }
     val chunked: Dataset[Stage1Row] = spark.createDataset(chunkedRdd)
 
@@ -349,7 +391,7 @@ object IndexBuilder {
         val stagingDir = s"$indexDir/staging/gen=$generation"
         val fpPath = s"$indexDir/staging-gen$generation.fp"
         val fp = sha256Hex(s"${indexFingerprint(inputPath, docCount)}:$segSize:${cfg.chunkDocs}" +
-          s":${cfg.storePositions}:${cfg.storeOffsets}")
+          s":${cfg.storePositions}:${cfg.storeOffsets}:${cfg.storePayloads}:${cfg.normMode}")
         val reusable = inputPath.nonEmpty &&
           IndexIO.readText(spark, fpPath).contains(fp) &&
           IndexIO.exists(spark, s"$stagingDir/_SUCCESS")
@@ -431,6 +473,12 @@ object IndexBuilder {
       require(m.hasOffsets == cfg.storeOffsets,
         s"append storeOffsets=${cfg.storeOffsets} must match the committed " +
           s"index's hasOffsets=${m.hasOffsets} (a mixed index would break postings highlighting)")
+      require(m.hasPayloads == cfg.storePayloads,
+        s"append storePayloads=${cfg.storePayloads} must match the committed " +
+          s"index's hasPayloads=${m.hasPayloads} (a mixed index would break payload readers)")
+      require(m.normMode == cfg.normMode,
+        s"append normMode=${cfg.normMode} must match the committed index's " +
+          s"normMode=${m.normMode} (a mixed index would score the same length two ways)")
     }
     val manifest = Manifest(
       generation = generation,
@@ -456,6 +504,8 @@ object IndexBuilder {
       hasPositions = cfg.storePositions,
       hasTermVectors = cfg.storeTermVectors,
       hasOffsets = cfg.storeOffsets,
+      hasPayloads = cfg.storePayloads,
+      normMode = cfg.normMode,
       // an append's docIds start past the existing range, so its rows CANNOT
       // interleave into the committed sort order — the global
       // docId-order == sort-order invariant no longer holds and the sorted
@@ -481,7 +531,8 @@ object IndexBuilder {
     * `pos` (present only on positions-enabled builds) holds every doc's
     * ascending positions concatenated in posting order: the walk order of
     * (docs, freqs) recovers the per-doc runs, so no offsets are stored. */
-  private final class TermBuf(withPositions: Boolean, withOffsets: Boolean = false) {
+  private final class TermBuf(withPositions: Boolean, withOffsets: Boolean = false,
+                              withPayloads: Boolean = false) {
     var docs = new Array[Int](8)
     var freqs = new Array[Int](8)
     var norms = new Array[Byte](8)
@@ -489,6 +540,10 @@ object IndexBuilder {
     val pos: graft.analysis.IntBuf = if (withPositions) new graft.analysis.IntBuf(8) else null
     // interleaved (start, end) code-point offsets, aligned with `pos`
     val off: graft.analysis.IntBuf = if (withOffsets) new graft.analysis.IntBuf(8) else null
+    // per-occurrence payload lengths + concatenated bytes, aligned with `pos`
+    val payLen: graft.analysis.IntBuf = if (withPayloads) new graft.analysis.IntBuf(8) else null
+    val pay: java.io.ByteArrayOutputStream =
+      if (withPayloads) new java.io.ByteArrayOutputStream(64) else null
     def add(doc: Int, freq: Int, norm: Byte): Unit = {
       if (n == docs.length) {
         val cap = n << 1
@@ -503,7 +558,9 @@ object IndexBuilder {
   private def invertChunks(it: Iterator[(Long, String)], analyzer: Analyzer,
                            segSize: Long, chunkDocs: Int,
                            storePositions: Boolean = false,
-                           storeOffsets: Boolean = false): Iterator[Stage1Row] = {
+                           storeOffsets: Boolean = false,
+                           storePayloads: Boolean = false,
+                           normMode: String = graft.bm25.NormMode.Mod256): Iterator[Stage1Row] = {
     new Iterator[Stage1Row] {
       private val in = it.buffered
       private var out: Iterator[Stage1Row] = Iterator.empty
@@ -537,10 +594,33 @@ object IndexBuilder {
             lastLocal = local
             in.next()
             val len =
-              if (storeOffsets) {
+              if (storePayloads) {
+                // positions + payloads (+ optional offsets) path — the full
+                // IndexOptions surface incl. the per-position payload slot
+                val (tp, l) = analyzer.termPositionPayloadCounts(content, intern, storeOffsets)
+                val nb = graft.bm25.NormMode.encode(l, normMode)
+                val tpIt = tp.entrySet().iterator()
+                while (tpIt.hasNext) {
+                  val e = tpIt.next()
+                  var b = terms.get(e.getKey)
+                  if (b == null) { b = new TermBuf(true, storeOffsets, true); terms.put(e.getKey, b) }
+                  val pb = e.getValue
+                  b.add(local, pb.pos.n, nb)
+                  var j = 0
+                  while (j < pb.pos.n) { b.pos.add(pb.pos.a(j)); j += 1 }
+                  if (storeOffsets) {
+                    j = 0
+                    while (j < pb.off.n) { b.off.add(pb.off.a(j)); j += 1 }
+                  }
+                  j = 0
+                  while (j < pb.payLen.n) { b.payLen.add(pb.payLen.a(j)); j += 1 }
+                  pb.pay.writeTo(b.pay)
+                }
+                l
+              } else if (storeOffsets) {
                 // positions + offsets path (IndexOptions ..._AND_OFFSETS)
                 val (tp, l) = analyzer.termPositionOffsetCounts(content, intern)
-                val nb = (l & 0xFF).toByte
+                val nb = graft.bm25.NormMode.encode(l, normMode)
                 val tpIt = tp.entrySet().iterator()
                 while (tpIt.hasNext) {
                   val e = tpIt.next()
@@ -558,7 +638,7 @@ object IndexBuilder {
                 // positions path: term -> ascending token positions (the
                 // prox stream, freqproxtermswriterperfield.go:96-122)
                 val (tp, l) = analyzer.termPositionCounts(content, intern)
-                val nb = (l & 0xFF).toByte
+                val nb = graft.bm25.NormMode.encode(l, normMode)
                 val tpIt = tp.entrySet().iterator()
                 while (tpIt.hasNext) {
                   val e = tpIt.next()
@@ -572,7 +652,7 @@ object IndexBuilder {
                 l
               } else {
                 val (tf, l) = analyzer.termFreqCounts(content, intern)
-                val nb = (l & 0xFF).toByte
+                val nb = graft.bm25.NormMode.encode(l, normMode)
                 val tfIt = tf.entrySet().iterator()
                 while (tfIt.hasNext) {
                   val e = tfIt.next()
@@ -596,8 +676,10 @@ object IndexBuilder {
           val normsA = java.util.Arrays.copyOf(b.norms, b.n)
           val posA = if (b.pos == null) null else java.util.Arrays.copyOf(b.pos.a, b.pos.n)
           val offA = if (b.off == null) null else java.util.Arrays.copyOf(b.off.a, b.off.n)
+          val payLensA = if (b.payLen == null) null else java.util.Arrays.copyOf(b.payLen.a, b.payLen.n)
+          val payA = if (b.pay == null) null else b.pay.toByteArray
           postRows += Stage1Row(seg, t, salt, b.n, ttf,
-            buildBlocks(docsA, freqsA, normsA, posA, offA),
+            buildBlocks(docsA, freqsA, normsA, posA, offA, payLensA, payA),
             -1, 0, null, firstDoc = docsA(0))
         }
         postRows.iterator ++ docRows.result().iterator
@@ -621,15 +703,23 @@ object IndexBuilder {
     * stores varint(start - prevStart) [prevStart resets per posting] +
     * varint(end - start) — the reference's startOffset-delta + length
     * encoding (same file, offsets branch).
+    * `payLens`/`payFlat` (optional, requires positions): per-occurrence
+    * payload lengths + concatenated bytes aligned with `positions`; per
+    * occurrence the block stores varint(len) + the raw bytes — the
+    * reference's per-position payload slot (same file, payload branch).
     */
   def buildBlocks(docs: Array[Int], freqs: Array[Int], norms: Array[Byte],
                   positions: Array[Int] = null,
-                  offsets: Array[Int] = null): Array[PostingBlock] = {
+                  offsets: Array[Int] = null,
+                  payLens: Array[Int] = null,
+                  payFlat: Array[Byte] = null): Array[PostingBlock] = {
     val B = PostingBlock.Size
     val out = Array.newBuilder[PostingBlock]
     var i = 0
     var pcur = 0 // cursor into the flat positions stream
     var ocur = 0 // cursor into the interleaved offsets stream (pairs)
+    var ycur = 0 // occurrence cursor into payLens
+    var ybyte = 0 // byte cursor into payFlat
     while (i < docs.length) {
       val end = math.min(i + B, docs.length)
       val d = new Array[Long](end - i)
@@ -677,9 +767,28 @@ object IndexBuilder {
           }
           bos.toByteArray
         }
+      val payBytes: Array[Byte] =
+        if (payLens == null) null
+        else {
+          val bos = new java.io.ByteArrayOutputStream(8 * (end - i))
+          j = i
+          while (j < end) {
+            var k = 0
+            while (k < freqs(j)) {
+              val len = payLens(ycur)
+              graft.codec.Varint.writeUvarint(bos, len.toLong)
+              bos.write(payFlat, ybyte, len)
+              ybyte += len
+              ycur += 1
+              k += 1
+            }
+            j += 1
+          }
+          bos.toByteArray
+        }
       val (impF, impN) = Impacts.pareto(freqs, norms, i, end)
       out += PostingBlock(docs(end - 1), end - i, graft.codec.MonotonicBlock.encode(d), ForBlock.encode(f), nb,
-        impF, impN, posBytes, offBytes)
+        impF, impN, posBytes, offBytes, payBytes)
       i = end
     }
     out.result()
@@ -713,7 +822,8 @@ object IndexBuilder {
           df += c.docFreq; ttf += c.totalTermFreq; blocks ++= c.blocks
           lastMax = c.blocks(c.blocks.length - 1).maxDoc
         }
-        TermPostings(seg, term, df, ttf, blocks.result())
+        TermPostings(seg, term, df, ttf, blocks.result(),
+          termLen = term.codePointCount(0, term.length))
       }
     }
   }

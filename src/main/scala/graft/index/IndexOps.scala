@@ -146,9 +146,17 @@ object IndexOps {
       if (nSurv > 0L)
         survivors.write.mode("overwrite").parquet(s"$indexDir/deletes/gen=$newDeleteGen")
 
-      val deadGens = (m.deadGens ++ candidates).distinct.sorted
+      val deadAll = (m.deadGens ++ candidates).distinct.sorted
+      // advance the visibility floor past any dead PREFIX: those generations
+      // can never become visible again, so keeping them listed only grows
+      // the manifest and every [minGen, generation] dirBytes/visibility scan
+      // without bound across long streaming append+merge cycles (deadGens
+      // stays bounded by the number of interior holes, which repeated
+      // merges collapse)
+      val newMinGen = (m.minGen to gen).filterNot(deadAll.contains).min // gen itself is live
+      val deadGens = deadAll.filter(_ > newMinGen)
       val m2 = m.copy(
-        generation = gen,
+        generation = gen, minGen = newMinGen,
         numSegments = segs.size, stats = stats, segments = segs,
         corpusSha = IndexBuilder.sha256Hex(s"${m.corpusSha}#tiered:$gen"),
         deadGens = deadGens,
@@ -298,10 +306,11 @@ private[index] object Compaction {
     import spark.implicits._
     val hasPos = m.hasPositions
     val hasOff = m.hasOffsets
+    val hasPay = m.hasPayloads
     rewriteWithTombstones[TermPostings](spark,
       postingsDf.as[TermPostings].rdd.map(tp => ((tp.segmentId, tp.term), tp: AnyRef)),
       delRdd, outParts) { (payload, deleted) =>
-        rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos, hasOff).iterator
+        rewriteTerm(payload.asInstanceOf[TermPostings], deleted, hasPos, hasOff, hasPay).iterator
       }
       .write.mode("overwrite").parquet(s"$indexDir/postings/gen=$gen")
     rewriteWithTombstones[DocMeta](spark,
@@ -415,13 +424,15 @@ private[index] object Compaction {
     * decode through the SAME [[graft.codec.ProxStreams]] the query readers
     * use — one implementation per on-disk layout. */
   def rewriteTerm(tp: TermPostings, deleted: Array[Int], hasPos: Boolean,
-                  hasOff: Boolean = false): Option[TermPostings] = {
+                  hasOff: Boolean = false, hasPay: Boolean = false): Option[TermPostings] = {
     if (deleted.isEmpty) return Some(tp) // untouched segment: bytes move as-is
     val docsB = new graft.analysis.IntBuf(64)
     val freqsB = new graft.analysis.IntBuf(64)
     val normsB = new java.io.ByteArrayOutputStream(64)
     val posB = if (hasPos) new graft.analysis.IntBuf(64) else null
     val offB = if (hasOff) new graft.analysis.IntBuf(64) else null
+    val payLenB = if (hasPay) new graft.analysis.IntBuf(64) else null
+    val payB = if (hasPay) new java.io.ByteArrayOutputStream(256) else null
     var ttf = 0L
     tp.blocks.foreach { blk =>
       val docs = graft.codec.MonotonicBlock.decode(blk.docBytes)
@@ -432,8 +443,11 @@ private[index] object Compaction {
         "compaction on a positions index requires posBytes in every block")
       require(!hasOff || blk.offBytes != null,
         "compaction on an offsets index requires offBytes in every block")
+      require(!hasPay || blk.payBytes != null,
+        "compaction on a payloads index requires payBytes in every block")
       val pos = if (hasPos) graft.codec.ProxStreams.decodePositions(blk.posBytes, freqsI) else null
       val off = if (hasOff) graft.codec.ProxStreams.decodeOffsets(blk.offBytes, freqsI) else null
+      val pay = if (hasPay) graft.codec.ProxStreams.decodePayloads(blk.payBytes, freqsI) else null
       var i = 0
       while (i < docs.length) {
         val local = docs(i).toInt
@@ -453,6 +467,15 @@ private[index] object Compaction {
             var k = starts(i)
             while (k < starts(i + 1)) { offB.add(fs(k)); offB.add(fe(k)); k += 1 }
           }
+          if (hasPay) {
+            val (occ, starts) = pay
+            var k = starts(i)
+            while (k < starts(i + 1)) {
+              payLenB.add(occ(k).length)
+              payB.write(occ(k), 0, occ(k).length)
+              k += 1
+            }
+          }
         }
         i += 1
       }
@@ -464,8 +487,11 @@ private[index] object Compaction {
       val normsA = normsB.toByteArray
       val posA = if (posB == null) null else java.util.Arrays.copyOf(posB.a, posB.n)
       val offA = if (offB == null) null else java.util.Arrays.copyOf(offB.a, offB.n)
+      val payLensA = if (payLenB == null) null else java.util.Arrays.copyOf(payLenB.a, payLenB.n)
+      val payA = if (payB == null) null else payB.toByteArray
       Some(TermPostings(tp.segmentId, tp.term, docsB.n, ttf,
-        IndexBuilder.buildBlocks(docsA, freqsA, normsA, posA, offA)))
+        IndexBuilder.buildBlocks(docsA, freqsA, normsA, posA, offA, payLensA, payA),
+        termLen = tp.termLen))
     }
   }
 }

@@ -122,6 +122,56 @@ object MoreLikeThis {
   }
 }
 
+/** One per-occurrence payload read back from the postings payload stream. */
+final case class PayloadRow(docId: Long, term: String, position: Int, payload: Array[Byte])
+
+/** Reader of the per-position PAYLOAD stream (an index built with
+  * `BuildConfig.storePayloads`) — the consumer surface of the reference's
+  * per-position payload slot (`core/index/freqproxtermswriterperfield.go:
+  * 96-122` reserves `posDelta<<1 | hasPayload` + length + bytes; payload
+  * users in Lucene: custom span scoring, per-occurrence term metadata).
+  * Distributed: the scan pushes down to the requested terms' posting rows
+  * (term min/max + dictionary pushdown), blocks decode lazily per the doc
+  * predicate — no other term's payloads are touched.
+  */
+object Payloads {
+
+  /** Every (doc, position, payload) of `terms` over docs passing `docPred`,
+    * positions ascending within a doc. Tombstones are NOT applied (payload
+    * reads follow hits, like stored-field fetch). */
+  def forTerms(spark: SparkSession, index: BuiltIndex, terms: Set[String],
+               docPred: Long => Boolean): Dataset[PayloadRow] = {
+    import spark.implicits._
+    require(index.manifest.hasPayloads,
+      s"index at ${index.indexDir} was built without payloads (BuildConfig.storePayloads)")
+    if (terms.isEmpty) return spark.emptyDataset[PayloadRow]
+    val segSize = index.manifest.segmentSize
+    index.postings(spark)
+      .where(col("term").isin(terms.toSeq: _*))
+      .as[TermPostings]
+      .flatMap { tp =>
+        val rd = new graft.search.TermReader(tp, new Array[Double](256))
+        val base = tp.segmentId.toLong * segSize
+        tp.blocks.indices.iterator.flatMap { bi =>
+          val docs = rd.docsOf(bi)
+          val any = docs.exists(d => docPred(base + d))
+          if (!any) Iterator.empty
+          else {
+            val (pflat, pstarts) = rd.positionsOf(bi)
+            val (occ, ystarts) = rd.payloadsOf(bi)
+            docs.indices.iterator
+              .filter(i => docPred(base + docs(i)))
+              .flatMap { i =>
+                (pstarts(i) until pstarts(i + 1)).iterator.map { w =>
+                  PayloadRow(base + docs(i), tp.term, pflat(w), occ(ystarts(i) + (w - pstarts(i))))
+                }
+              }
+          }
+        }
+      }
+  }
+}
+
 /** Query-term highlighter over term-vector offsets (the consumer Lucene
   * pairs with term vectors): finds match offsets WITHOUT re-analysis and
   * returns the best window of the original text with matches wrapped in

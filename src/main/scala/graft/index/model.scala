@@ -47,6 +47,16 @@ object PostingBlock {
   *                 (the tokenizer counts runes). Lets highlighting run from
   *                 postings alone — no term-vectors copy of per-doc term
   *                 data needed.
+  * @param payBytes OPTIONAL per-position payload stream — the last
+  *                 IndexOptions dimension (the reference's in-RAM posting
+  *                 encoding reserves a per-position payload bit,
+  *                 `core/index/freqproxtermswriterperfield.go:96-122`
+  *                 `posDelta<<1 | hasPayload`, then payload length + bytes):
+  *                 for each posting i, freq_i occurrences as
+  *                 varint(payloadLen) + payloadLen raw bytes, aligned with
+  *                 the positions stream. Payload users (custom span scoring,
+  *                 per-occurrence term metadata) read them back through
+  *                 [[graft.codec.ProxStreams.decodePayloads]].
   */
 final case class PostingBlock(
     maxDoc: Int,
@@ -57,7 +67,8 @@ final case class PostingBlock(
     impactFreqs: Array[Int],
     impactNorms: Array[Int],
     posBytes: Array[Byte] = null,
-    offBytes: Array[Byte] = null
+    offBytes: Array[Byte] = null,
+    payBytes: Array[Byte] = null
 )
 
 /** The posting list of one term within one segment.
@@ -70,7 +81,13 @@ final case class TermPostings(
     term: String,
     docFreq: Int,
     totalTermFreq: Long,
-    blocks: Array[PostingBlock]
+    blocks: Array[PostingBlock],
+    // code-point length of `term`, stored as its own column so length-window
+    // predicates (FuzzyQuery's edit-distance prefilter) PUSH DOWN to the
+    // parquet scan as a plain comparison instead of evaluating length(term)
+    // per row post-scan — the sub-linear candidate-generation hook a
+    // billion-term dictionary needs (Lucene gets this from the FST walk)
+    termLen: Int
 )
 
 /** Per-segment metadata + build metrics (north rule: per-partition lineage
@@ -168,6 +185,17 @@ final case class Manifest(
     // (IndexOptions ..._AND_OFFSETS, `core/document/indexoptions.go:3-29`);
     // implies hasPositions; same append-match rule.
     hasOffsets: Boolean = false,
+    // whether posting blocks carry the per-position payload stream (the
+    // reference's per-position payload bit,
+    // `core/index/freqproxtermswriterperfield.go:96-122`); implies
+    // hasPositions; same append-match rule.
+    hasPayloads: Boolean = false,
+    // norm encoding of this index (NormMode.Mod256 = lucene-go's raw
+    // `fieldLength & 0xFF` quirk, the default/oracle parity mode;
+    // NormMode.JavaLucene = SmallFloat.intToByte4 — Java Lucene's lossy
+    // 4-bit-mantissa length encoding, SURVEY §2.4 Q1). Readers build the
+    // BM25 norm cache from this; appends must match.
+    normMode: String = graft.bm25.NormMode.Mod256,
     // on-disk codec version of the posting blocks (the `segments_N` codec
     // id in the reference): readers REFUSE manifests whose codec they do
     // not speak (fail closed — decoding v1 FOR docBytes with the v2
@@ -178,9 +206,11 @@ final case class Manifest(
 
 object Manifest {
   /** v2 = MonotonicBlock docIds (+ optional positions stream);
-    * v3 = optional offsets stream column in posting blocks (older readers
-    * would fail on the new struct field — fail closed both ways). */
-  val CurrentCodecVersion: Int = 3
+    * v3 = optional offsets stream column in posting blocks;
+    * v4 = termLen column in TermPostings + optional payloads stream column
+    * in posting blocks + manifest normMode (older readers would fail on the
+    * new struct fields — fail closed both ways). */
+  val CurrentCodecVersion: Int = 4
 }
 
 /** One tombstone: a deleted doc addressed segment-locally (the live-docs

@@ -58,6 +58,8 @@ final class MemoryIndex(analyzer: Analyzer = Analyzer.standard) {
       ConstQ(TermInSetQ(ts.toSet), 1.0)
     case FuzzyQ(t, e) =>
       ConstQ(TermInSetQ(tf.keySet.filter(FuzzyPred(t, e).matches).toSet), 1.0)
+    case WildcardQ(p) =>
+      ConstQ(TermInSetQ(tf.keySet.filter(_.matches(WildcardQ.toRegex(p))).toSet), 1.0)
     case BoolQ(m, s, f, x, msm) =>
       BoolQ(m.map(expand), s.map(expand), f.map(expand), x.map(expand), msm)
     case BoostQ(s, b) => BoostQ(expand(s), b)
@@ -101,7 +103,7 @@ final class MemoryIndex(analyzer: Analyzer = Analyzer.standard) {
         val w = boost * ts.map(t => idf.getOrElse(t, 0.0)).sum
         Some(if (scoring) Bm25.scoreF(w, occ, len & 0xFF, cache) else 0.0)
       }
-    case _: PrefixQ | _: RegexpQ | _: TermRangeQ =>
+    case _: PrefixQ | _: RegexpQ | _: TermRangeQ | _: FuzzyQ | _: WildcardQ =>
       throw new IllegalStateException("expand() must run first")
     case BoolQ(must, should, filter, mustNot, msm0) =>
       val mustS = must.map(eval(_, idf, cache, boost, scoring))

@@ -70,6 +70,13 @@ object ScorerBuilder {
       val subs = qs.flatMap(build(_, postings, segDocCount, ctx, boost, scoring, neverPrune)).toArray
       if (subs.isEmpty) None
       else if (subs.length == 1) Some(subs(0))
+      else if (scoring)
+        // block-max pruning for dismax (Lucene gives DisjunctionMaxQuery the
+        // WAND treatment too): live only when this dismax's score IS the
+        // collected score — minCompetitive is the collector's feedback at
+        // the root and neverPrune when nested, exactly like WandScorer's
+        // gating in buildBool
+        Some(new DisjMaxWandScorer(subs, tb, minCompetitive))
       else Some(new DisjunctionMaxScorer(subs, tb))
     case PhraseQ(ts, slop) =>
       // every phrase term must have postings in this segment (conjunction);
@@ -81,7 +88,7 @@ object ScorerBuilder {
         val w = boost * ts.map(t => ctx.idf.getOrElse(t, 0.0)).sum
         Some(new PhraseScorer(subs, w, ctx.cache, scoring, slop))
       }
-    case _: PrefixQ | _: RegexpQ | _: TermRangeQ | _: FuzzyQ =>
+    case _: PrefixQ | _: RegexpQ | _: TermRangeQ | _: FuzzyQ | _: WildcardQ =>
       throw new IllegalStateException("multi-term queries must be rewritten to MultiTermQ before scoring")
     case b: BoolQ => buildBool(b, postings, segDocCount, ctx, boost, scoring, minCompetitive)
   }
@@ -214,14 +221,23 @@ object SegmentKernel {
     */
   def firstK(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
              ctx: QueryContext, k: Int,
-             deleted: Array[Int] = Array.emptyIntArray): Iterator[ScoredDoc] = {
+             deleted: Array[Int] = Array.emptyIntArray,
+             afterDoc: Long = -1L): Iterator[ScoredDoc] = {
+    // paging cursor (the PagingFieldCollector role on a sorted index,
+    // `core/search/topfieldcollector.go` + Lucene's searchAfter(FieldDoc)):
+    // docId order == sort order, so "after the last hit of the previous
+    // page" is a plain docId lower bound — segments wholly before it skip
+    // via one advance() into the skip structure, never a scan
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = false,
         () => Double.NegativeInfinity) match {
       case None => Iterator.empty
       case Some(s0) =>
         val s = live(s0, deleted)
+        var d =
+          if (afterDoc >= seg.docBase + seg.docCount) DISI.NO_MORE // page is past this whole segment
+          else if (afterDoc >= seg.docBase) s.advance((afterDoc - seg.docBase).toInt + 1)
+          else s.nextDoc()
         val out = new scala.collection.mutable.ArrayBuffer[ScoredDoc](k)
-        var d = s.nextDoc()
         while (d != DISI.NO_MORE && out.size < k) {
           out += ScoredDoc(seg.docBase + d, 0.0)
           d = s.nextDoc()
@@ -309,6 +325,10 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     case TermRangeQ(lo, hi, incLo, incHi) =>
       ConstQ(MultiTermQ(RangePred(lo, hi, incLo, incHi)), 1.0)
     case FuzzyQ(t, e) => ConstQ(MultiTermQ(FuzzyPred(t, e)), 1.0)
+    case WildcardQ(p) =>
+      // wildcard = the escaped-regex automaton (Lucene WildcardQuery is an
+      // AutomatonQuery); rides RegexPred incl. its literal-prefix pushdown
+      ConstQ(MultiTermQ(RegexPred(WildcardQ.toRegex(p))), 1.0)
     case BoolQ(m, s, f, n, msm) =>
       BoolQ(m.map(toMultiTerm), s.map(toMultiTerm), f.map(toMultiTerm), n.map(toMultiTerm), msm)
     case BoostQ(sub, b) => BoostQ(toMultiTerm(sub), b)
@@ -334,16 +354,19 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       val pre = r.literalPrefix
       if (pre.nonEmpty) col("term").startsWith(pre) && full else full
     case FuzzyPred(t, e) =>
-      // no sound prefix/range exists (the first character may be edited), so
-      // nothing reaches the parquet row-group stats: the filter is Spark's
-      // codegen'd levenshtein over the term column — the SAME code-point
-      // metric the kernel's banded DP re-checks (and DuckDB's oracle
-      // computes), so the filter is exact, not merely a superset. The
-      // length window (code points on both sides) skips the levenshtein
-      // for the vast majority of dictionary terms.
+      // no sound term prefix/range exists (the first character may be
+      // edited), but the LENGTH window is sound — and the builder stores
+      // each term's code-point length as its own `termLen` column exactly so
+      // this window becomes a PLAIN COMPARISON that pushes to the parquet
+      // row-group stats (the sub-linear candidate-generation hook a
+      // billion-term dictionary needs; Lucene gets it from the FST walk —
+      // a `length(term)` expression would evaluate post-scan on every row).
+      // The levenshtein then runs only on the surviving slice: Spark's
+      // codegen'd levenshtein is the SAME code-point metric the kernel's
+      // banded DP re-checks (and DuckDB's oracle computes), so the filter
+      // is exact, not merely a superset.
       val cpLen = t.codePointCount(0, t.length)
-      (org.apache.spark.sql.functions.length(col("term"))
-        .between(cpLen - e, cpLen + e)) &&
+      col("termLen").between(cpLen - e, cpLen + e) &&
         org.apache.spark.sql.functions.levenshtein(col("term"), lit(t)) <= e
   }
 
@@ -375,6 +398,31 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     matches.join(fields, "doc_id").orderBy(sortCols: _*).limit(k)
   }
 
+  /** Field-sorted searchAfter — the PagingFieldCollector role
+    * (`core/search/topfieldcollector.go:14-50`; Lucene's
+    * searchAfter(FieldDoc)): page k rows of (sortField asc/desc, doc_id asc)
+    * strictly AFTER the cursor `(lastSortValue, lastDocId)`. The cursor
+    * predicate (`field < v OR (field = v AND doc_id > d)` for desc) is a
+    * plain comparison, so it pushes to the fields table's parquet stats —
+    * deep pages prune the field scan instead of re-reading k+page rows.
+    * `fields` must carry `doc_id` + `sortField`; pass `after = None` for
+    * page 1. Tie-break is always doc_id asc (the Lucene FieldDoc contract).
+    */
+  def searchSortByAfter(spark: SparkSession, q0: Query, fields: DataFrame,
+                        sortField: String, ascending: Boolean, k: Int,
+                        after: Option[(Any, Long)]): DataFrame = {
+    val matches = scoreAll(spark, q0).toDF("doc_id", "score").select("doc_id")
+    val f = col(sortField)
+    val paged = after match {
+      case None => fields
+      case Some((v, d)) =>
+        val beyond = if (ascending) f > lit(v) else f < lit(v)
+        fields.where(beyond || (f === lit(v) && col("doc_id") > d))
+    }
+    val order = Seq(if (ascending) f.asc else f.desc, col("doc_id").asc)
+    matches.join(paged, "doc_id").orderBy(order: _*).limit(k)
+  }
+
   /** Early-terminating top-k over a SORTED index (built with
     * [[graft.index.IndexBuilder.buildSorted]], which makes docId order ==
     * index-sort order; the manifest records the sort): each segment's
@@ -386,15 +434,17 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     * TopFieldCollector-on-index-sort early termination, the entire point
     * of index sorting. Returns (docId, 0.0) rows, docId ascending.
     */
-  def searchSortedTopK(spark: SparkSession, q0: Query, k: Int): Dataset[ScoredDoc] = {
+  def searchSortedTopK(spark: SparkSession, q0: Query, k: Int,
+                       after: Option[Long] = None): Dataset[ScoredDoc] = {
     import spark.implicits._
     require(index.manifest.indexSort.nonEmpty,
       s"index at ${index.indexDir} has no index sort (build with IndexBuilder.buildSorted; " +
         "appends clear it — the appended docIds cannot interleave into the sort order)")
     val q = rewrite(spark, q0)
     val ctx = queryContext(spark, q)
+    val afterDoc = after.getOrElse(-1L)
     val perLeaf = runLeaves(spark, q) { (seg, post, del) =>
-      SegmentKernel.firstK(q, readers(post, ctx), seg, ctx, k, del)
+      SegmentKernel.firstK(q, readers(post, ctx), seg, ctx, k, del, afterDoc)
     }
     perLeaf.orderBy($"docId".asc).limit(k).as[ScoredDoc]
   }
@@ -440,7 +490,8 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
   private def queryContextFor(stats: Map[String, (Long, Long)]): QueryContext = {
     val n = index.stats.fieldDocCount
     val idf = stats.map { case (t, (df, _)) => t -> Bm25.idf(df, n) }
-    QueryContext(idf, Bm25.buildCache(index.stats.avgdl), n)
+    QueryContext(idf,
+      Bm25.buildCacheFor(index.manifest.normMode, index.stats.avgdl), n)
   }
 
   /** Top-k search. Returns a DataFrame (doc_id, score) ordered by
@@ -557,7 +608,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     val n = index.stats.fieldDocCount
     val ctx = QueryContext(
       stats.map { case (t, df) => t -> Bm25.idf(df, n) },
-      Bm25.buildCache(index.stats.avgdl), n)
+      Bm25.buildCacheFor(index.manifest.normMode, index.stats.avgdl), n)
     val t2 = System.nanoTime()
     // Task granularity: one-task-per-segment gives |segments| tasks — on a
     // cluster whose core count approaches the segment count that is 1-2
@@ -646,8 +697,28 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     */
   def facetTopTerms(spark: SparkSession, q0: Query, k: Int,
                     maxPushdownIds: Int = 8192): DataFrame = {
-    import spark.implicits._
+    // the match kernel must run ONCE: facetAgg consumes `matches` twice (the
+    // pushdown sample probe, then — for hot queries — the join), and
+    // uncached the join branch RECOMPUTES the full distributed search inside
+    // its own stages. persist() is bounded (the frame is (doc_id) only);
+    // the aggregation is materialized while the cache is live (<= k rows by
+    // construction) and the cache dropped before returning.
     val matches = matchingDocs(spark, q0).toDF("doc_id", "z").select("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = facetAgg(spark, matches, k, maxPushdownIds)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(out.collect(): _*)),
+        out.schema)
+    } finally matches.unpersist(blocking = false)
+  }
+
+  /** The lazy facet aggregation over an already-persisted match set —
+    * exposed for plan assertions (the public [[facetTopTerms]] materializes
+    * while its cache is live). `matches` must be a cached (doc_id) frame. */
+  private[graft] def facetAgg(spark: SparkSession, matches: DataFrame, k: Int,
+                              maxPushdownIds: Int): DataFrame = {
+    import spark.implicits._
     val pairs: DataFrame =
       if (index.manifest.hasTermVectors) {
         val tv = index.termVectorsDf(spark).select(col("docId").as("doc_id"), col("term"))

@@ -89,8 +89,42 @@ final case class TermRangeQ(lo: Option[String], hi: Option[String],
   * place of Lucene's greedy queue — Lucene 8.11's exact enumeration order
   * is tied to its PhrasePositions machinery and is not part of the
   * reference's surface). At slop 0 the only admissible width is 0, so
-  * freq = exact phrase count. */
+  * freq = exact phrase count.
+  *
+  * REPEATED-TERM note (deliberate, pinned by PhraseSpec): when the same
+  * term occupies several phrase slots, slots choose their occurrence
+  * INDEPENDENTLY — two slots may reuse one token. E.g. `PhraseQ(["a","a"],
+  * slop >= 1)` matches a doc containing a single "a" (slot 1's adjusted
+  * position p-1 yields width 1). Java Lucene's sloppy matcher forbids
+  * same-position reuse for repeated terms; our rule keeps the minimal-width
+  * optimum exactly solvable (the threshold form above) and SQL-replicable
+  * (the q59 oracle), and reduces to Lucene's semantics at slop 0 where
+  * reuse is impossible. */
 final case class PhraseQ(phraseTerms: Seq[String], slop: Int = 0) extends Query
+
+/** WildcardQuery sugar (the automaton package's wildcard role,
+  * `core/util/automaton/` + `core/search/automatonquery.go:26`; Lucene
+  * wildcard syntax): `*` = any run of characters (including empty), `?` =
+  * exactly one character; every other character is literal. Rewritten to
+  * the equivalent anchored [[RegexpQ]] (metacharacters escaped), which
+  * then rides the distributed MultiTermQ machinery — including the
+  * literal-prefix scan pushdown for patterns with a literal head
+  * (`jo*` skips row groups like a PrefixQ). */
+final case class WildcardQ(pattern: String) extends Query
+
+object WildcardQ {
+  /** The wildcard pattern as an anchored-regex source string. */
+  def toRegex(pattern: String): String = {
+    val sb = new StringBuilder(pattern.length + 8)
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if ".?*+()[]{}|^$\\".indexOf(c.toInt) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.result()
+  }
+}
 
 /** FuzzyQuery (Lucene 8.11 surface; ABSENT in the reference — no fuzzy file
   * exists — so Lucene semantics with our multi-term machinery): matches

@@ -118,6 +118,24 @@ final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
   // starts) — aligned with positionsOf; memoized the same way
   private val memoOff = new Array[(Array[Int], Array[Int], Array[Int])](blocks.length)
 
+  // decoded payloads per block, aligned with positionsOf; memoized the same way
+  private val memoPay = new Array[(Array[Array[Byte]], Array[Int])](blocks.length)
+
+  /** Per-occurrence payloads of block `bi` (requires a payloads-enabled
+    * index, BuildConfig.storePayloads). */
+  def payloadsOf(bi: Int): (Array[Array[Byte]], Array[Int]) = {
+    var m = memoPay(bi)
+    if (m == null) {
+      val blk = blocks(bi)
+      if (blk.payBytes == null)
+        throw new IllegalStateException(
+          s"term '${tp.term}': index has no payloads stream — build with BuildConfig.storePayloads=true")
+      m = graft.codec.ProxStreams.decodePayloads(blk.payBytes, freqsOf(bi))
+      memoPay(bi) = m
+    }
+    m
+  }
+
   /** Character offsets of block `bi` (requires an offsets-enabled index,
     * IndexOptions ..._AND_OFFSETS). */
   def offsetsOf(bi: Int): (Array[Int], Array[Int], Array[Int]) = {
@@ -808,6 +826,119 @@ final class ReqExclScorer(req: Scorer, excl: Scorer) extends Scorer {
   def nextDoc(): Int = { req.nextDoc(); toNonExcluded() }
   def advance(target: Int): Int = { if (req.docId < target) req.advance(target); toNonExcluded() }
   def score(): Double = req.score()
+}
+
+/** WAND-style dynamic pruning for DisjunctionMax — the block-max treatment
+  * Lucene gives dismax (its DisjunctionMaxQuery rides WANDScorer too; the
+  * reference's dismax file only defines the combiner,
+  * `core/search/disjunctionmaxquery.go:5-34`). Identical iteration shape to
+  * [[WandScorer]], with the additive prefix bound replaced by the dismax
+  * bound: for any clause subset, score = (1-tb)·mx + tb·sum is bounded by
+  * (1-tb)·max(ub_j) + tb·Σ(ub_j) (tb ∈ [0,1], mx <= max ub, sum <= Σ ub —
+  * both coefficients non-negative). Exact evaluation reuses
+  * [[DisjunctionMaxScorer]]'s op order, so pruned and exhaustive runs are
+  * rank-identical (property-tested under k=1 pruning pressure).
+  */
+final class DisjMaxWandScorer(subs: Array[Scorer], tieBreak: Double,
+                              minCompetitive: () => Double) extends Scorer {
+  private var cur = -1
+  private var curScore = 0.0
+  def docId: Int = cur
+  def cost: Long = subs.map(_.cost).sum
+  lazy val maxScore: Double = {
+    val ubs = subs.map(_.maxScore)
+    (1.0 - tieBreak) * ubs.max + tieBreak * ubs.sum
+  }
+
+  private val byDoc: Array[Scorer] = subs.clone()
+
+  private def sortByDoc(): Unit = {
+    var j = 1
+    while (j < byDoc.length) {
+      val s = byDoc(j)
+      var p = j - 1
+      while (p >= 0 && byDoc(p).docId > s.docId) { byDoc(p + 1) = byDoc(p); p -= 1 }
+      byDoc(p + 1) = s
+      j += 1
+    }
+  }
+
+  /** Exact dismax score of the clauses positioned at `doc`, in ORIGINAL
+    * clause order — the same fp op order as [[DisjunctionMaxScorer]]. */
+  private def scoreAt(doc: Int): Double = {
+    var mx = Double.NegativeInfinity
+    var sum = 0.0
+    var j = 0
+    while (j < subs.length) {
+      if (subs(j).docId == doc) { val s = subs(j).score(); sum += s; if (s > mx) mx = s }
+      j += 1
+    }
+    mx + tieBreak * (sum - mx)
+  }
+
+  private def positionAt(target0: Int): Int = {
+    var target = target0
+    while (true) {
+      val theta = minCompetitive()
+      sortByDoc()
+      if (byDoc(0).docId == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
+      // pivot: first prefix whose dismax bound can beat theta (the bound is
+      // monotone in prefix extension: adding a clause raises max and sum)
+      var maxUb = 0.0
+      var sumUb = 0.0
+      var pi = -1
+      var j = 0
+      while (j < byDoc.length && pi < 0) {
+        val ub = byDoc(j).maxScore
+        if (ub > maxUb) maxUb = ub
+        sumUb += ub
+        if ((1.0 - tieBreak) * maxUb + tieBreak * sumUb > theta) pi = j
+        j += 1
+      }
+      if (pi < 0) { cur = DISI.NO_MORE; return cur }
+      var pivot = byDoc(pi).docId
+      if (pivot == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
+      if (pivot < target) pivot = target
+      if (byDoc(0).docId >= pivot) {
+        // block-max re-check over the clauses AT the pivot
+        var bMax = 0.0
+        var bSum = 0.0
+        j = 0
+        while (j < byDoc.length) {
+          if (byDoc(j).docId == pivot) {
+            val ub = byDoc(j) match {
+              case p: PostingsScorer => p.blockMaxScoreUpTo(pivot)
+              case s => s.maxScore
+            }
+            if (ub > bMax) bMax = ub
+            bSum += ub
+          }
+          j += 1
+        }
+        if ((1.0 - tieBreak) * bMax + tieBreak * bSum > theta) {
+          val sc = scoreAt(pivot)
+          if (sc > theta) { cur = pivot; curScore = sc; return cur }
+        }
+        j = 0
+        while (j < byDoc.length) {
+          if (byDoc(j).docId == pivot) byDoc(j).advance(pivot + 1)
+          j += 1
+        }
+        target = pivot + 1
+      } else {
+        j = 0
+        while (j < byDoc.length) {
+          if (byDoc(j).docId < pivot) byDoc(j).advance(pivot)
+          j += 1
+        }
+      }
+    }
+    cur
+  }
+
+  def nextDoc(): Int = if (cur == DISI.NO_MORE) cur else positionAt(cur + 1)
+  def advance(target: Int): Int = if (cur == DISI.NO_MORE || cur >= target) cur else positionAt(target)
+  def score(): Double = curScore
 }
 
 /** max + tieBreak*(sum-max) over sub-scores (`core/search/disjunctionmaxquery.go:5-34`). */

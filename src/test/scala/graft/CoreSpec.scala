@@ -125,7 +125,7 @@ class CodecSpec extends AnyFunSuite {
       val freqs = Array.fill(n)(1 + rnd.nextInt(5))
       val norms = Array.fill(n)((rnd.nextInt(250) + 1).toByte)
       val blocks = IndexBuilder.buildBlocks(docs, freqs, norms)
-      val reader = new TermReader(TermPostings(0, "t", n, freqs.map(_.toLong).sum, blocks), cache)
+      val reader = new TermReader(TermPostings(0, "t", n, freqs.map(_.toLong).sum, blocks, termLen = 1), cache)
       val sc = new PostingsScorer(reader, 1.0, cache, scoring = true)
       var target = 0
       while (target <= docs.last) {

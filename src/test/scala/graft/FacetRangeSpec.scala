@@ -56,15 +56,37 @@ class FacetRangeSpec extends AnyFunSuite {
     val idx = IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir,
       BuildConfig(numSegments = 2, chunkDocs = 128, storeTermVectors = true))
     val s = new IndexSearcher(idx)
-    val df = s.facetTopTerms(spark, TermQ("facetme"), 8)
-    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = s.facetTopTerms(spark, TermQ("facetme"), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == facetOracle(docs, "facetme", 8))
     // the selective path must push the matched docIds into the TV scan —
     // no postings decode, row groups outside the match set skipped
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("In(docId"),
-      s"expected docId In-pushdown in:\n$plan")
-    assert(!plan.toLowerCase.contains("postings"), "TV path must not scan postings")
+    // (facetTopTerms materializes while its match-set cache is live, so the
+    // plan is asserted on the lazy inner aggregation)
+    val matches = s.matchingDocs(spark, TermQ("facetme")).toDF("doc_id", "z").select("doc_id").persist()
+    try {
+      val plan = s.facetAgg(spark, matches, 8, 8192).queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("In(docId"),
+        s"expected docId In-pushdown in:\n$plan")
+      assert(!plan.toLowerCase.contains("postings"), "TV path must not scan postings")
+    } finally matches.unpersist(blocking = false)
+  }
+
+  test("facet match set is computed once: the hot-path join reads the cache, not a kernel re-run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-facet-once").toString
+    val idx = IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir,
+      BuildConfig(numSegments = 2, chunkDocs = 128, storeTermVectors = true))
+    val s = new IndexSearcher(idx)
+    val matches = s.matchingDocs(spark, TermQ("shared")).toDF("doc_id", "z").select("doc_id").persist()
+    try {
+      // maxPushdownIds = 0 forces the join branch; the join's probe side
+      // must consume the CACHED match set (InMemoryTableScan), not replay
+      // the distributed search lineage — this is exactly what facetTopTerms
+      // guarantees by persisting before the probe
+      val plan = s.facetAgg(spark, matches, 8, 0).queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"hot-path join must read the cached match set; plan:\n$plan")
+    } finally matches.unpersist(blocking = false)
   }
 
   test("TV-backed facets with tombstones match the live-corpus oracle") {

@@ -60,6 +60,35 @@ class FuzzySpec extends AnyFunSuite {
     assert(!FuzzyPred("spark", 1).matches("apache"))
   }
 
+  test("fuzzy length window PUSHES DOWN via the termLen column (dictionary-scale pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-plan").toString
+    val idx = IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir,
+      BuildConfig(numSegments = 2, chunkDocs = 128))
+    val s = new IndexSearcher(idx)
+    // the posting scan of a pure fuzzy query must carry termLen range
+    // filters in PushedFilters — a length(term) expression would evaluate
+    // post-scan on every dictionary row; the stored column turns the sound
+    // length window into parquet row-group pruning (Lucene gets the
+    // equivalent from its FST walk)
+    import org.apache.spark.sql.functions.col
+    val cpLen = "spark".length
+    val scan = idx.postings(spark)
+      .where(col("termLen").between(cpLen - 2, cpLen + 2) &&
+        org.apache.spark.sql.functions.levenshtein(col("term"),
+          org.apache.spark.sql.functions.lit("spark")) <= 2)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(termLen") && plan.contains("LessThanOrEqual(termLen"),
+      s"expected termLen range pushdown in:\n$plan")
+    // and the rewritten engine path stays correct with the new filter shape
+    val got = s.search(spark, FuzzyQ("spark", 2), 300).collect().map(_.docId).toSet
+    val a = Analyzer.standard
+    val want = docs.filter { case (_, t) =>
+      a.terms(t).exists(w => naiveLev("spark", w) <= 2)
+    }.map(_._1).toSet
+    assert(got == want)
+  }
+
   test("MemoryIndex fuzzy agrees with the predicate") {
     val mi = new graft.memory.MemoryIndex().addField("the spork is strong")
     assert(mi.searchOpt(FuzzyQ("spark", 1)).isDefined)

@@ -236,6 +236,21 @@ class PhraseSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("positions"))
   }
 
+  test("repeated-term sloppy semantics are the DOCUMENTED independent-slot rule (PhraseQ note)") {
+    // our spec lets slots of a repeated term reuse one token: ["a","a"] with
+    // slop >= 1 matches a single "a" at width 1 (slot 1's adjusted position
+    // is p-1); Java Lucene would forbid the reuse. Pinned so a behavioral
+    // change cannot land silently — the q59 SQL oracle encodes this rule.
+    assert(graft.search.SloppyMatch.sloppyFreq(Array(Array(5), Array(5)), 1) == 0.5) // width 1
+    assert(graft.search.SloppyMatch.sloppyFreq(Array(Array(5), Array(5)), 0) == 0.0) // slop 0: no reuse possible
+    // a genuine double "a a" still matches exactly at slop 0
+    assert(graft.search.SloppyMatch.sloppyFreq(Array(Array(5, 6), Array(5, 6)), 0) == 1.0)
+    // engine end-to-end agrees with the rule
+    val mi = new graft.memory.MemoryIndex().addField("x a y")
+    assert(mi.search(PhraseQ(Seq("a", "a"), 1)) > 0.0)
+    assert(mi.search(PhraseQ(Seq("a", "a"), 0)) == 0.0)
+  }
+
   test("append must match the committed index's positions setting") {
     val dir = java.nio.file.Files.createTempDirectory("graft-posappend").toString
     IndexBuilder.build(spark, docs.take(50).toDF("doc_id", "text"), "doc_id", "text", dir,

@@ -93,7 +93,7 @@ object EngineProperties extends Properties("graft") {
       val blocks = IndexBuilder.buildBlocks(docs, freqs, norms)
       val cache = Bm25.buildCache(avgdl = 30.0)
       val reader = new TermReader(
-        graft.index.TermPostings(0, "t", docs.length, freqs.map(_.toLong).sum, blocks), cache)
+        graft.index.TermPostings(0, "t", docs.length, freqs.map(_.toLong).sum, blocks, termLen = 1), cache)
       val sc = new PostingsScorer(reader, 1.0, cache, scoring = true)
       val streamed = Iterator.continually(sc.nextDoc()).takeWhile(_ != DISI.NO_MORE).toArray
       streamed.sameElements(docs)

@@ -149,11 +149,15 @@ class TieredMergeSpec extends AnyFunSuite {
     appendNext(40); appendNext(30)
     val all = IndexOps.MergePolicy(smallGenBytes = 1L << 30)
     val m1 = IndexOps.maybeMerge(spark, dir, all)
-    assert(m1.liveGens == Seq(4L) && m1.manifest.deadGens == Seq(1L, 2L, 3L))
+    // the dead PREFIX advances minGen instead of accumulating in deadGens
+    // (long streaming append+merge cycles must not grow the manifest or the
+    // [minGen, generation] dir scans without bound)
+    assert(m1.liveGens == Seq(4L) && m1.manifest.minGen == 4L && m1.manifest.deadGens.isEmpty,
+      s"minGen=${m1.manifest.minGen} dead=${m1.manifest.deadGens}")
     appendNext(25)
     val m2 = IndexOps.maybeMerge(spark, dir, all)
     assert(m2.liveGens == Seq(6L), s"live = ${m2.liveGens}")
-    assert(m2.manifest.deadGens.toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(m2.manifest.minGen == 6L && m2.manifest.deadGens.isEmpty)
     val s = new IndexSearcher(m2)
     assert(s.count(spark, MatchAllQ) == 145L)
     // content identity: docmeta shas == exactly the ingested docs (ids

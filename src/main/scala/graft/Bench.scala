@@ -377,15 +377,21 @@ object Bench {
       // sorted index is built once and reused across rounds (manifest-gated).
       val bigDocs = spark.read.parquet(corpusPath)
       val sortedBigDir = s"${sys.props("java.io.tmpdir")}/graft-bench-sortedbig-$nDocs"
+      // reuse gate = corpus fingerprint + the sort being present: a stale
+      // index from an older corpus generator (or different config) must not
+      // be silently measured against the regenerated corpus
+      val bigFp = IndexBuilder.indexFingerprint(corpusPath, nDocs)
       val sortedBig = graft.index.IndexIO.readManifest(spark, sortedBigDir) match {
-        case Some(m) if m.indexSort.nonEmpty => new graft.index.BuiltIndex(sortedBigDir, m)
+        case Some(m) if m.indexSort.nonEmpty && m.corpusSha == bigFp =>
+          new graft.index.BuiltIndex(sortedBigDir, m)
         case _ =>
           IndexBuilder.buildSorted(spark, bigDocs,
             Seq(org.apache.spark.sql.functions.length(
                 org.apache.spark.sql.functions.col("content")).desc,
               org.apache.spark.sql.functions.col("doc_id").asc),
             "content", sortedBigDir,
-            BuildConfig(numSegments = 64, chunkDocs = 1024, outputPartitions = Some(cpus)))
+            BuildConfig(numSegments = 64, chunkDocs = 1024, outputPartitions = Some(cpus)),
+            inputPath = corpusPath)
       }
       val sbig = new IndexSearcher(sortedBig)
       sbig.searchSortedTopK(spark, TermQ("import"), k).collect() // warm

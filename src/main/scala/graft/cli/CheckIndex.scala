@@ -67,6 +67,13 @@ object CheckIndex {
     val deadLeftover = onDiskGens.filter(manifest.deadGens.contains)
     if (deadLeftover.nonEmpty)
       println(s"[graft] WARNING: dead (tiered-merged) generations still on disk: ${deadLeftover.mkString(",")} (invisible to readers; reclaimable)")
+    // a merge that advanced minGen past its superseded prefix (or a
+    // forceMerge, which sets minGen = generation) deletes those dirs after
+    // the commit; a crash in between leaves them on disk BELOW the
+    // visibility floor — invisible garbage that deadGens no longer lists
+    val belowFloor = onDiskGens.filter(g => g < manifest.minGen)
+    if (belowFloor.nonEmpty)
+      println(s"[graft] WARNING: generations below the visibility floor (minGen=${manifest.minGen}) still on disk: ${belowFloor.mkString(",")} (invisible to readers; reclaimable)")
 
     // ---- 2. posting-list structural invariants -------------------------
     val hasPositions = manifest.hasPositions

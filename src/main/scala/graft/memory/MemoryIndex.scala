@@ -59,7 +59,10 @@ final class MemoryIndex(analyzer: Analyzer = Analyzer.standard) {
     case FuzzyQ(t, e) =>
       ConstQ(TermInSetQ(tf.keySet.filter(FuzzyPred(t, e).matches).toSet), 1.0)
     case WildcardQ(p) =>
-      ConstQ(TermInSetQ(tf.keySet.filter(_.matches(WildcardQ.toRegex(p))).toSet), 1.0)
+      // RegexPred compiles the pattern once for the whole dictionary scan
+      // (String.matches would recompile per term)
+      val pred = RegexPred(WildcardQ.toRegex(p))
+      ConstQ(TermInSetQ(tf.keySet.filter(pred.matches).toSet), 1.0)
     case BoolQ(m, s, f, x, msm) =>
       BoolQ(m.map(expand), s.map(expand), f.map(expand), x.map(expand), msm)
     case BoostQ(s, b) => BoostQ(expand(s), b)

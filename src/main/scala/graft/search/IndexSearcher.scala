@@ -707,9 +707,7 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val out = facetAgg(spark, matches, k, maxPushdownIds)
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(out.collect(): _*)),
-        out.schema)
+      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
     } finally matches.unpersist(blocking = false)
   }
 

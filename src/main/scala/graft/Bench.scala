@@ -137,9 +137,10 @@ object Bench {
     // selective batch sized so the N-level wall is >= 30 s (VERDICT r4: at
     // the worst-case row's count the selective wall was 2.5-4.9 s, a
     // fixed-cost floor that caps the measured 8->32 ratio at ~0.33 no
-    // matter how well the engine scales). 6x the worst-case count lands
-    // the 8-core wall at ~35 s from r4's measured per-query cost.
-    val nSelQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES_SEL", (nQueries * 6).toString).toInt
+    // matter how well the engine scales). 8x the worst-case count lands
+    // the 8-core wall at ~33 s from the measured per-query cost (6x gave
+    // 25 s in this host's windows).
+    val nSelQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES_SEL", (nQueries * 8).toString).toInt
     val k = 10
 
     // ---- corpus (generated once, reused across rounds) -----------------
@@ -394,10 +395,14 @@ object Bench {
             inputPath = corpusPath)
       }
       val sbig = new IndexSearcher(sortedBig)
-      sbig.searchSortedTopK(spark, TermQ("import"), k).collect() // warm
-      val (_, seHotSecs) = timed(sbig.searchSortedTopK(spark, TermQ("import"), k).collect())
+      // a 3-hot-term disjunction matches ~95% of the corpus: the exhaustive
+      // row must emit ~2M match rows while firstK still stops at k per
+      // segment — the workload index sorting exists for
+      val hotQ: Query = BoolQ(should = Seq(TermQ("import"), TermQ("def"), TermQ("val")))
+      sbig.searchSortedTopK(spark, hotQ, k).collect() // warm
+      val (_, seHotSecs) = timed(sbig.searchSortedTopK(spark, hotQ, k).collect())
       val (_, sfHotSecs) = timed(
-        sbig.matchingDocs(spark, TermQ("import")).orderBy("docId").limit(k).collect())
+        sbig.matchingDocs(spark, hotQ).orderBy("docId").limit(k).collect())
       val hotOpTimes = Seq("sorted_early_hot" -> seHotSecs, "sorted_full_hot" -> sfHotSecs)
       (times ++ localTimes ++ pipeTimes ++ blendedTimes ++ newOpTimes ++ hotOpTimes :+ ("batch200" -> batchSecs), bs, idx.stats.docCount)
     } finally spark.stop()
@@ -520,7 +525,7 @@ object Bench {
          |(term union ≈ the WHOLE vocabulary — a deliberate worst case whose
          |cogroup moves the entire index) and the production-shaped
          |SELECTIVE set ($nSelQueries queries of the same shapes over
-         |a fixed ≤5% vocabulary sample — the query-log norm; sized 6x the
+         |a fixed ≤5% vocabulary sample — the query-log norm; sized 8x the
          |worst-case count so its N-level wall is >= 30 s, clearing the
          |fixed-cost floor that capped earlier rounds' selective ratio at
          |~0.33 regardless of engine quality). Each level runs in its

@@ -173,8 +173,12 @@ object SegmentKernel {
 
   def topK(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
            ctx: QueryContext, k: Int, after: Option[(Double, Long)],
-           deleted: Array[Int] = Array.emptyIntArray): Iterator[ScoredDoc] = {
-    val collector = new TopKCollector(k, seg.docBase, after)
+           deleted: Array[Int] = Array.emptyIntArray,
+           runId: Long = -1L): Iterator[ScoredDoc] = {
+    // runId >= 0 joins this leaf to the query's cross-leaf threshold cell
+    // (the MaxScoreAccumulator role): leaves sharing an executor JVM raise
+    // each other's pruning floor — exact by the strict-floor argument
+    val collector = new TopKCollector(k, seg.docBase, after, 0L, runId)
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = true,
         () => collector.minCompetitive) match {
       case None => Iterator.empty
@@ -502,8 +506,9 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     import spark.implicits._
     val q = rewrite(spark, q0)
     val ctx = queryContext(spark, q)
+    val runId = MaxScoreAccumulator.newRunId()
     val perLeaf = runLeaves(spark, q) { (seg, post, del) =>
-      SegmentKernel.topK(q, readers(post, ctx), seg, ctx, k, after, del)
+      SegmentKernel.topK(q, readers(post, ctx), seg, ctx, k, after, del, runId)
     }
     perLeaf.orderBy($"score".desc, $"docId".asc).limit(k).as[ScoredDoc]
   }
@@ -566,10 +571,13 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     if (totalPostings > maxLocalPostings || (hasMatchAll && index.stats.docCount > maxLocalPostings))
       return search(spark, q, k).collect()
     val rows = postingRows(spark, q.terms).collect().groupBy(_.segmentId)
+    // one shared run id: sequential leaves inherit each other's thresholds
+    // (Lucene's single-threaded leaf-order pruning benefit)
+    val runId = MaxScoreAccumulator.newRunId()
     val hits = index.manifest.segments.iterator.flatMap { seg =>
       val post = rows.getOrElse(seg.segmentId, Array.empty)
         .map(tp => tp.term -> new TermReader(tp, ctx.cache)).toMap
-      SegmentKernel.topK(q, post, seg, ctx, k, None)
+      SegmentKernel.topK(q, post, seg, ctx, k, None, runId = runId)
     }.toArray
     hits.sortBy(h => (-h.score, h.docId)).take(k)
   }
@@ -636,13 +644,16 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     // wall / (Σ/cores) separates engine scaling from host effects in the
     // GRAFT_BATCH_TIMING line
     val kernelNanos = spark.sparkContext.longAccumulator("graft-batch-kernel-nanos")
+    // one run id PER QUERY (shared by that query's segment/shard tasks):
+    // concurrent tasks in one executor JVM raise each other's floors
+    val runIds: Array[Long] = Array.fill(normed.size)(MaxScoreAccumulator.newRunId())
     val perLeaf: Dataset[QueryHit] = runSegments(spark, rows, shards) { (seg, post, del, shard) =>
       val tk0 = System.nanoTime()
       val rds = readers(post, ctx) // decode memo shared across the shard's queries
       val out = new scala.collection.mutable.ArrayBuffer[QueryHit]()
       normed.iterator.zipWithIndex.foreach { case ((id, q), qi) =>
         if (qi % shards == shard)
-          SegmentKernel.topK(q, rds, seg, ctx, k, None, del)
+          SegmentKernel.topK(q, rds, seg, ctx, k, None, del, runIds(qi))
             .foreach(sd => out += QueryHit(id, sd.docId, sd.score))
       }
       kernelNanos.add(System.nanoTime() - tk0)

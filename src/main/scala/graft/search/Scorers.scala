@@ -961,13 +961,81 @@ final class DisjunctionMaxScorer(subs: Array[Scorer], tieBreak: Double) extends 
   }
 }
 
+/** Cross-collector minimum-score sharing — the reference's
+  * `MaxScoreAccumulator` (`core/search/maxscoreaccumulator.go`; Lucene
+  * shares `minCompetitiveScore` across concurrent leaf collectors of one
+  * query). Our leaves run as Spark tasks; tasks that land in the SAME
+  * executor JVM (several per executor on any real cluster, all of them in
+  * local mode) share a lock-free cell keyed by the query's run id: each
+  * collector publishes its worst-in-top-k as it improves, and every
+  * collector prunes with the max of its local threshold and the shared
+  * STRICT floor.
+  *
+  * Safety (rank identity is load-bearing — the bench asserts bit-identical
+  * top-k across parallelism levels): a published value g certifies that
+  * SOME leaf holds k candidates with score >= g, and since leaf heaps only
+  * improve, those k candidates reach the global merge with scores >= g.
+  * Any doc with score < g is therefore strictly outranked by >= k docs
+  * regardless of docId, so pruning strictly-below-g is exact. Ties at g
+  * MUST survive (the global tie-break is docId asc and publish order is
+  * racy), hence the floor is `Math.nextDown(g)` — scorers evaluate
+  * anything with an upper bound > nextDown(g), i.e. >= g. Sharing only
+  * ever RAISES thresholds toward the true global worst-in-top-k, so the
+  * returned per-leaf candidate SET may vary run to run while the merged
+  * top-k stays bit-identical (asserted by EngineSpec's oracle suite and
+  * the bench's cross-level sha).
+  *
+  * Lifecycle: cells live in a JVM-static map (executors cannot be told
+  * when a query ends); run ids are driver-unique (random base + counter),
+  * and the map self-clears past a size bound — losing cells only loses
+  * pruning power, never correctness.
+  */
+object MaxScoreAccumulator {
+  private val cells =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicLong]()
+  private val NegInfBits = java.lang.Double.doubleToLongBits(Double.NegativeInfinity)
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(
+    new java.security.SecureRandom().nextLong())
+
+  /** Driver-side: a fresh run id per (query, search invocation). Always
+    * NON-NEGATIVE: negative ids are the collector's sharing-off sentinel,
+    * and the random counter base can start negative (masking the sign bit
+    * cannot collide within a run — successive ids differ by 1, not 2^63). */
+  def newRunId(): Long = nextId.incrementAndGet() & Long.MaxValue
+
+  /** Executor-side: the shared cell of a run (created on first touch). */
+  def cell(runId: Long): java.util.concurrent.atomic.AtomicLong = {
+    if (cells.size > 65536) cells.clear() // bounded; loses only pruning power
+    cells.computeIfAbsent(runId,
+      _ => new java.util.concurrent.atomic.AtomicLong(NegInfBits))
+  }
+
+  /** Monotonic max-publish (CAS loop; correct for any double ordering). */
+  def publish(c: java.util.concurrent.atomic.AtomicLong, score: Double): Unit = {
+    var cur = c.get()
+    while (java.lang.Double.longBitsToDouble(cur) < score &&
+        !c.compareAndSet(cur, java.lang.Double.doubleToLongBits(score))) {
+      cur = c.get()
+    }
+  }
+
+  /** The strictly-below pruning floor: nextDown(published max), so score
+    * ties with the published worst-in-top-k always stay competitive. */
+  def strictFloor(c: java.util.concurrent.atomic.AtomicLong): Double = {
+    val g = java.lang.Double.longBitsToDouble(c.get())
+    if (g == Double.NegativeInfinity) g else Math.nextDown(g)
+  }
+}
+
 /** Bounded top-k heap with the reference's exact tie-break: score desc,
   * docId asc (`core/search/topscoredoccollector.go:84-110`). Feeds
   * `minCompetitiveScore` back to WAND. Supports searchAfter cursors
   * (`PagingTopScoreDocCollector`, `topscoredoccollector.go:243-340`).
+  * With `runId >= 0` the collector also shares its threshold through
+  * [[MaxScoreAccumulator]] (cross-leaf pruning within each executor JVM).
   */
 final class TopKCollector(k: Int, docBase: Long, after: Option[(Double, Long)],
-                          hitsThreshold: Long = 0L) {
+                          hitsThreshold: Long = 0L, runId: Long = -1L) {
   // primitive parallel-array min-heap (no per-hit boxing — a batch run
   // creates one collector per (query, segment), so allocation here is hot):
   // root = weakest hit (lowest score; among equal, largest docId)
@@ -984,13 +1052,30 @@ final class TopKCollector(k: Int, docBase: Long, after: Option[(Double, Long)],
   private val afterScore = after.map(_._1).getOrElse(0.0)
   private val afterDoc = after.map(_._2).getOrElse(0L)
 
+  private val sharedCell: java.util.concurrent.atomic.AtomicLong =
+    if (runId >= 0L) MaxScoreAccumulator.cell(runId) else null
+  private var lastPublished = Double.NegativeInfinity
+
   /** Pruning threshold fed back to WAND / block-max conjunction. Stays
     * -inf until `hitsThreshold` hits have been counted (Lucene's
     * totalHitsThreshold contract: counting is EXACT up to the threshold,
-    * a lower bound beyond it). Default threshold 0 = prune ASAP. */
-  def minCompetitive: Double =
-    if (size >= k && collected >= hitsThreshold) { pruned = true; hScore(0) }
-    else Double.NegativeInfinity
+    * a lower bound beyond it). Default threshold 0 = prune ASAP. With a
+    * shared cell, the threshold is the max of the local heap root and the
+    * strict cross-leaf floor (see [[MaxScoreAccumulator]] safety note). */
+  def minCompetitive: Double = {
+    val local =
+      if (size >= k && collected >= hitsThreshold) { pruned = true; hScore(0) }
+      else Double.NegativeInfinity
+    if (sharedCell == null) local
+    else {
+      if (size >= k && hScore(0) > lastPublished) {
+        lastPublished = hScore(0)
+        MaxScoreAccumulator.publish(sharedCell, lastPublished)
+      }
+      val floor = MaxScoreAccumulator.strictFloor(sharedCell)
+      if (floor > local) { pruned = true; floor } else local
+    }
+  }
 
   // a is "worse" than b if lower score, or equal score and larger docId
   @inline private def worse(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =

@@ -137,10 +137,10 @@ object Bench {
     // selective batch sized so the N-level wall is >= 30 s (VERDICT r4: at
     // the worst-case row's count the selective wall was 2.5-4.9 s, a
     // fixed-cost floor that caps the measured 8->32 ratio at ~0.33 no
-    // matter how well the engine scales). 8x the worst-case count lands
-    // the 8-core wall at ~33 s from the measured per-query cost (6x gave
-    // 25 s in this host's windows).
-    val nSelQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES_SEL", (nQueries * 8).toString).toInt
+    // matter how well the engine scales). 10x the worst-case count lands
+    // the 8-core wall at ~34 s from the measured per-query cost (6x/8x
+    // gave 25-28 s in this host's faster windows).
+    val nSelQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES_SEL", (nQueries * 10).toString).toInt
     val k = 10
 
     // ---- corpus (generated once, reused across rounds) -----------------
@@ -371,13 +371,17 @@ object Bench {
         "sorted_early_topk" -> seSecs, "sorted_full_scan" -> sfSecs)
       // sorted-index early termination AT SCALE (VERDICT r4: at sfDir size
       // both rows above are scheduling-bound, demonstrating rank identity
-      // but not the benefit): the HOTTEST term over the 2M-doc synthetic
-      // corpus. The exhaustive row visits every match (~55% of all
-      // postings decode + ~1M ScoredDoc rows emitted); firstK stops after
-      // k matches per segment — the entire point of index sorting. The
-      // sorted index is built once and reused across rounds (manifest-gated).
+      // but not the benefit): a 3-hot-term disjunction (~95% corpus match)
+      // over the 2M-doc synthetic corpus, SAME RESULT two ways. The index
+      // sort key is the TOKEN COUNT (the norm docmeta stores), so
+      //  - sorted_early_hot: searchSortedTopK — each leaf stops at its
+      //    first k matches in docId (= sort) order;
+      //  - sorted_full_hot: searchSortBy by (norm desc, doc_id asc) — the
+      //    TopFieldCollector path a user runs WITHOUT index sorting: every
+      //    match visited and joined to its doc value, then globally sorted.
+      // The sorted index is built once and reused (fingerprint-gated).
       val bigDocs = spark.read.parquet(corpusPath)
-      val sortedBigDir = s"${sys.props("java.io.tmpdir")}/graft-bench-sortedbig-$nDocs"
+      val sortedBigDir = s"${sys.props("java.io.tmpdir")}/graft-bench-sortedbig2-$nDocs"
       // reuse gate = corpus fingerprint + the sort being present: a stale
       // index from an older corpus generator (or different config) must not
       // be silently measured against the regenerated corpus
@@ -386,23 +390,31 @@ object Bench {
         case Some(m) if m.indexSort.nonEmpty && m.corpusSha == bigFp =>
           new graft.index.BuiltIndex(sortedBigDir, m)
         case _ =>
+          // sort key = whitespace token count desc (the corpus is
+          // single-space, so size(split) == the norm the index stores),
+          // tie doc_id asc — searchSortBy on (norm desc, doc_id asc) then
+          // returns the IDENTICAL ranking exhaustively
           IndexBuilder.buildSorted(spark, bigDocs,
-            Seq(org.apache.spark.sql.functions.length(
-                org.apache.spark.sql.functions.col("content")).desc,
+            Seq(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(
+                org.apache.spark.sql.functions.col("content"), " ")).desc,
               org.apache.spark.sql.functions.col("doc_id").asc),
             "content", sortedBigDir,
             BuildConfig(numSegments = 64, chunkDocs = 1024, outputPartitions = Some(cpus)),
             inputPath = corpusPath)
       }
       val sbig = new IndexSearcher(sortedBig)
-      // a 3-hot-term disjunction matches ~95% of the corpus: the exhaustive
-      // row must emit ~2M match rows while firstK still stops at k per
-      // segment — the workload index sorting exists for
       val hotQ: Query = BoolQ(should = Seq(TermQ("import"), TermQ("def"), TermQ("val")))
+      val bigFields = sortedBig.docmeta(spark)
+        .select(org.apache.spark.sql.functions.col("docId").as("doc_id"),
+          org.apache.spark.sql.functions.col("norm"))
       sbig.searchSortedTopK(spark, hotQ, k).collect() // warm
+      sbig.searchSortBy(spark, hotQ, bigFields,
+        Seq(org.apache.spark.sql.functions.col("norm").desc,
+          org.apache.spark.sql.functions.col("doc_id").asc), k).collect() // warm
       val (_, seHotSecs) = timed(sbig.searchSortedTopK(spark, hotQ, k).collect())
-      val (_, sfHotSecs) = timed(
-        sbig.matchingDocs(spark, hotQ).orderBy("docId").limit(k).collect())
+      val (_, sfHotSecs) = timed(sbig.searchSortBy(spark, hotQ, bigFields,
+        Seq(org.apache.spark.sql.functions.col("norm").desc,
+          org.apache.spark.sql.functions.col("doc_id").asc), k).collect())
       val hotOpTimes = Seq("sorted_early_hot" -> seHotSecs, "sorted_full_hot" -> sfHotSecs)
       (times ++ localTimes ++ pipeTimes ++ blendedTimes ++ newOpTimes ++ hotOpTimes :+ ("batch200" -> batchSecs), bs, idx.stats.docCount)
     } finally spark.stop()
@@ -525,7 +537,7 @@ object Bench {
          |(term union ≈ the WHOLE vocabulary — a deliberate worst case whose
          |cogroup moves the entire index) and the production-shaped
          |SELECTIVE set ($nSelQueries queries of the same shapes over
-         |a fixed ≤5% vocabulary sample — the query-log norm; sized 8x the
+         |a fixed ≤5% vocabulary sample — the query-log norm; sized 10x the
          |worst-case count so its N-level wall is >= 30 s, clearing the
          |fixed-cost floor that capped earlier rounds' selective ratio at
          |~0.33 regardless of engine quality). Each level runs in its

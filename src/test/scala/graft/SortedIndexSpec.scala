@@ -62,6 +62,27 @@ class SortedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("norm-keyed sort: searchSortedTopK == searchSortBy on the stored norm (the bench's identity claim)") {
+    // the bench's at-scale rows compare these exact two computations: an
+    // index sorted by token count (== the norm docmeta stores, single-space
+    // text) early-terminates to the SAME ranking the exhaustive
+    // TopFieldCollector path (join norm, global sort) produces
+    val dir = java.nio.file.Files.createTempDirectory("graft-sortednorm").toString
+    val idx = IndexBuilder.buildSorted(spark, docs.toDF("doc_id", "text", "n_chars"),
+      Seq(size(split(col("text"), " ")).desc, col("doc_id").asc), "text", dir,
+      BuildConfig(numSegments = 4, chunkDocs = 128))
+    val s = new IndexSearcher(idx)
+    val fields = idx.docmeta(spark).select(col("docId").as("doc_id"), col("norm"))
+    for (q <- Seq[Query](TermQ("join"), BoolQ(should = Seq(TermQ("join"), TermQ("alpha"))));
+         k <- Seq(5, 17)) {
+      val early = s.searchSortedTopK(spark, q, k).collect().map(_.docId).toSeq
+      val full = s.searchSortBy(spark, q, fields,
+        Seq(col("norm").desc, col("doc_id").asc), k)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(early == full, s"q=$q k=$k")
+    }
+  }
+
   test("early termination respects tombstones") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sortedidx-del").toString
     IndexBuilder.buildSorted(spark, docs.toDF("doc_id", "text", "n_chars"),

@@ -17,7 +17,8 @@ object Explain {
     val docs = spark.read.parquet(input)
     val idx = IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", indexDir,
       BuildConfig(numSegments = 4, chunkDocs = 128, storePositions = true,
-        storeTermVectors = true, storeOffsets = true), inputPath = input)
+        storeTermVectors = true, storeOffsets = true, storePayloads = true),
+      inputPath = input)
     val searcher = new IndexSearcher(idx)
 
     def section(title: String)(df: org.apache.spark.sql.DataFrame): Unit = {
@@ -110,6 +111,16 @@ object Explain {
     }
     section("postings-offsets highlight feed: term-pruned scan, per-block docId skip") {
       graft.index.Highlighter.offsetsFromPostings(spark, idx, Set("spark", "join"), _ == 7L).toDF()
+    }
+    section("field-sorted searchAfter: (sortValue, docId) cursor pushed into the field scan") {
+      // deep paging must PRUNE the field table (LessThan/EqualTo on the
+      // sort column reach PushedFilters) instead of re-reading page1+page2
+      searcher.searchSortByAfter(spark, TermQ("dup"),
+        docs.select("doc_id", "n_chars"), "n_chars", ascending = false, 10,
+        after = Some((250L, 37L)))
+    }
+    section("payload read: term-pruned postings scan (per-occurrence metadata, no TV copy)") {
+      graft.index.Payloads.forTerms(spark, idx, Set("spark"), _ == 7L).toDF()
     }
     spark.stop()
   }

@@ -382,22 +382,29 @@ object Bench {
       // The sorted index is built once and reused (fingerprint-gated).
       val bigDocs = spark.read.parquet(corpusPath)
       val sortedBigDir = s"${sys.props("java.io.tmpdir")}/graft-bench-sortedbig2-$nDocs"
-      // reuse gate = corpus fingerprint + the sort being present: a stale
-      // index from an older corpus generator (or different config) must not
-      // be silently measured against the regenerated corpus
+      // sort key = whitespace token count desc == the norm the index
+      // stores, INCLUDING the corpus's deliberate ~2% empty docs: Spark's
+      // split("", " ") is [""] (size 1), so empties must be forced to 0 to
+      // keep key == norm — otherwise any empty-doc-matching query would
+      // rank differently on the two paths. Tie doc_id asc — searchSortBy
+      // on (norm desc, doc_id asc) then returns the IDENTICAL ranking
+      // exhaustively.
+      val F = org.apache.spark.sql.functions
+      val bigSortCols = Seq(
+        F.when(F.col("content") === "", F.lit(0))
+          .otherwise(F.size(F.split(F.col("content"), " "))).desc,
+        F.col("doc_id").asc)
+      val bigSortSig = bigSortCols.map(_.toString).mkString(", ")
+      // reuse gate = corpus fingerprint + the manifest recording THIS
+      // exact sort expression: a stale index from an older corpus
+      // generator, a different config, or a since-changed sort key must
+      // not be silently measured against the regenerated corpus
       val bigFp = IndexBuilder.indexFingerprint(corpusPath, nDocs)
       val sortedBig = graft.index.IndexIO.readManifest(spark, sortedBigDir) match {
-        case Some(m) if m.indexSort.nonEmpty && m.corpusSha == bigFp =>
+        case Some(m) if m.indexSort == bigSortSig && m.corpusSha == bigFp =>
           new graft.index.BuiltIndex(sortedBigDir, m)
         case _ =>
-          // sort key = whitespace token count desc (the corpus is
-          // single-space, so size(split) == the norm the index stores),
-          // tie doc_id asc — searchSortBy on (norm desc, doc_id asc) then
-          // returns the IDENTICAL ranking exhaustively
-          IndexBuilder.buildSorted(spark, bigDocs,
-            Seq(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(
-                org.apache.spark.sql.functions.col("content"), " ")).desc,
-              org.apache.spark.sql.functions.col("doc_id").asc),
+          IndexBuilder.buildSorted(spark, bigDocs, bigSortCols,
             "content", sortedBigDir,
             BuildConfig(numSegments = 64, chunkDocs = 1024, outputPartitions = Some(cpus)),
             inputPath = corpusPath)

@@ -1055,6 +1055,8 @@ final class TopKCollector(k: Int, docBase: Long, after: Option[(Double, Long)],
   private val sharedCell: java.util.concurrent.atomic.AtomicLong =
     if (runId >= 0L) MaxScoreAccumulator.cell(runId) else null
   private var lastPublished = Double.NegativeInfinity
+  private var cachedFloor = Double.NegativeInfinity
+  private var floorTick = 0
 
   /** Pruning threshold fed back to WAND / block-max conjunction. Stays
     * -inf until `hitsThreshold` hits have been counted (Lucene's
@@ -1069,11 +1071,24 @@ final class TopKCollector(k: Int, docBase: Long, after: Option[(Double, Long)],
     if (sharedCell == null) local
     else {
       if (size >= k && hScore(0) > lastPublished) {
+        // publishing is always safe (the root IS an achieved k-th score);
+        // refresh the cached floor on the same CAS round-trip
         lastPublished = hScore(0)
         MaxScoreAccumulator.publish(sharedCell, lastPublished)
+        cachedFloor = MaxScoreAccumulator.strictFloor(sharedCell)
+        floorTick = 1
+      } else {
+        // throttled refresh: one volatile read on the FIRST call and then
+        // per FloorRefreshInterval calls, not per scorer-loop iteration
+        // (a stale floor is merely lower = less pruning, never wrong)
+        if (floorTick == 0) cachedFloor = MaxScoreAccumulator.strictFloor(sharedCell)
+        floorTick += 1
+        if (floorTick >= TopKCollector.FloorRefreshInterval) floorTick = 0
       }
-      val floor = MaxScoreAccumulator.strictFloor(sharedCell)
-      if (floor > local) { pruned = true; floor } else local
+      // exact-count contract: the cross-leaf floor may only prune once
+      // THIS leaf has counted hitsThreshold hits (same gate as local)
+      if (collected >= hitsThreshold && cachedFloor > local) { pruned = true; cachedFloor }
+      else local
     }
   }
 
@@ -1126,4 +1141,12 @@ final class TopKCollector(k: Int, docBase: Long, after: Option[(Double, Long)],
     val sorted = idx.sortBy(j => (-hScore(j), hDoc(j)))
     sorted.map(j => (hDoc(j), hScore(j)))
   }
+}
+
+object TopKCollector {
+  /** How many minCompetitive calls between re-reads of the shared
+    * cross-leaf cell (Lucene's MaxScoreAccumulator throttles updates for
+    * the same reason: the cell's cache line ping-pongs across every
+    * thread of the query while thresholds climb). */
+  val FloorRefreshInterval = 64
 }

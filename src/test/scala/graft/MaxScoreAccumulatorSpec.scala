@@ -80,4 +80,24 @@ class MaxScoreAccumulatorSpec extends AnyFunSuite {
       assert(got == Oracle.topK(corpus, q, 5), s"local q=$q")
     }
   }
+
+  test("exact-count contract: the shared floor never prunes below hitsThreshold") {
+    val runId = MaxScoreAccumulator.newRunId()
+    // a remote leaf publishes a high floor
+    val a = new TopKCollector(1, docBase = 100L, after = None, runId = runId)
+    a.collect(0, 5.0)
+    assert(a.minCompetitive == 5.0)
+    // this leaf must count 3 hits EXACTLY before any pruning: the cross-
+    // leaf floor may not leak through while collected < hitsThreshold
+    val b = new TopKCollector(1, docBase = 0L, after = None,
+      hitsThreshold = 3L, runId = runId)
+    assert(b.minCompetitive == Double.NegativeInfinity)
+    b.collect(1, 1.0)
+    assert(b.minCompetitive == Double.NegativeInfinity && !b.pruned)
+    b.collect(2, 0.5)
+    assert(b.minCompetitive == Double.NegativeInfinity && !b.pruned)
+    b.collect(3, 0.25)
+    // threshold reached: the shared floor (higher than the local root) applies
+    assert(b.minCompetitive == Math.nextDown(5.0) && b.pruned)
+  }
 }

@@ -83,6 +83,36 @@ class SortedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("norm-keyed sort survives EMPTY docs (split('', ' ') is [\"\"], size 1 — key must force 0)") {
+    // the bench corpus deliberately contains empty docs (norm 0); a naive
+    // size(split) key sorts them as 1, silently breaking the early==full
+    // identity for any query that matches them (MatchAllQ, mustNot-only)
+    // single-token docs are the discriminator: a naive key gives empties 1,
+    // TYING them with real 1-token docs (doc_id decides) instead of
+    // strictly after them (norm 0 < 1)
+    val mixed: Seq[(Long, String)] = (0L until 200L).map { i =>
+      if (i % 9 == 0) (i, "")
+      else if (i % 9 == 1) (i, "alpha")
+      else (i, s"alpha w${i % 7} " + ("join " * ((i % 5) + 1).toInt).trim)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sortedempty").toString
+    val idx = IndexBuilder.buildSorted(spark, mixed.toDF("doc_id", "text"),
+      Seq(when(col("text") === "", lit(0))
+            .otherwise(size(split(col("text"), " "))).desc,
+          col("doc_id").asc), "text", dir,
+      BuildConfig(numSegments = 4, chunkDocs = 128))
+    val s = new IndexSearcher(idx)
+    val fields = idx.docmeta(spark).select(col("docId").as("doc_id"), col("norm"))
+    for (q <- Seq[Query](MatchAllQ, BoolQ(should = Seq(TermQ("join"), TermQ("alpha"))));
+         k <- Seq(7, 200)) {
+      val early = s.searchSortedTopK(spark, q, k).collect().map(_.docId).toSeq
+      val full = s.searchSortBy(spark, q, fields,
+        Seq(col("norm").desc, col("doc_id").asc), k)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(early == full, s"q=$q k=$k")
+    }
+  }
+
   test("early termination respects tombstones") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sortedidx-del").toString
     IndexBuilder.buildSorted(spark, docs.toDF("doc_id", "text", "n_chars"),

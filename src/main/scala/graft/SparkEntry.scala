@@ -572,6 +572,21 @@ object SparkEntry {
       hits.join(idx.docmeta(spark).select(col("docId").as("doc_id"), col("sha")), "doc_id")
         .orderBy("doc_id")
     }),
+    // NormMode.JavaLucene (SURVEY §2.4 Q1's second world): norms stored via
+    // SmallFloat.intToByte4 (3-bit-mantissa float code, exact below 24) —
+    // BM25 runs on the DECODED round-down-to-representable lengths. The
+    // oracle independently re-derives the representable set by enumerating
+    // mantissa × shift in SQL, never the engine's bit-twiddling.
+    "q67_javalucene_norms" -> ((spark: SparkSession, sfDir: String) => {
+      val docsPath = s"$sfDir/documents.parquet"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index-jl-f9-${IndexBuilder.sha256Hex(docsPath).take(16)}"
+      val docs = spark.read.parquet(docsPath)
+      val idx = IndexBuilder.buildOrLoad(spark, docs, "doc_id", "text", dir,
+        BuildConfig(numSegments = 4, chunkDocs = 128,
+          normMode = graft.bm25.NormMode.JavaLucene), inputPath = docsPath)
+      new IndexSearcher(idx).search(spark, TermQ("spark"), 30)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+    }),
     // PointInSetQuery analogue: numeric doc-value IN-set filter (isin
     // pushdown) over BM25 matches
     "q47_point_in_set" -> ((spark: SparkSession, sfDir: String) => {
@@ -609,6 +624,40 @@ object SparkEntry {
       |    1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len % 256) / st.avgdl)) AS cn,
       |    tf.freq AS freq
       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st
+      |)""".stripMargin
+
+  /** `base` variant for NormMode.JavaLucene (q67): the effective length is
+    * the field length ROUNDED DOWN to the nearest SmallFloat.byte4
+    * representable value. The representable set is re-derived here from
+    * first principles — 0..23 exact (NUM_FREE_VALUES), then 24 + the
+    * subnormal deltas 0..7, then 24 + (8+mantissa)·2^shift — so the oracle
+    * never touches the engine's bit-twiddling encoder. avgdl stays the TRUE
+    * average (the engine's cache divides the decoded length by it).
+    */
+  private val baseJl: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS freq FROM tok WHERE term <> '' GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, count(*)::BIGINT AS len FROM tok WHERE term <> '' GROUP BY 1
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n, sum(len)::DOUBLE / count(*) AS avgdl FROM dl
+      |), reps AS (
+      |  SELECT x::BIGINT AS x FROM range(0, 24) t(x)
+      |  UNION SELECT (24 + d)::BIGINT FROM range(0, 8) t(d)
+      |  UNION SELECT (24 + (8 + m) * pow(2, s))::BIGINT
+      |        FROM range(0, 8) tm(m) CROSS JOIN range(0, 28) ts(s)
+      |), eff AS (
+      |  SELECT dl.doc_id, max(reps.x) AS elen FROM dl JOIN reps ON reps.x <= dl.len GROUP BY 1
+      |), df AS (
+      |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+      |), sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) AS idf,
+      |    1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * eff.elen / st.avgdl)) AS cn,
+      |    tf.freq AS freq
+      |  FROM tf JOIN eff USING (doc_id) JOIN df USING (term) CROSS JOIN st
       |)""".stripMargin
 
   /** Shared dedup CTE: distinct word 3-shingles per doc + set sizes. Same
@@ -1227,6 +1276,7 @@ object SparkEntry {
            |), m AS (SELECT DISTINCT rid FROM tok WHERE term = 'join')
            |SELECT ranked.rid AS doc_id, ranked.sha FROM ranked JOIN m USING (rid)
            |ORDER BY doc_id LIMIT 10 OFFSET 10""".stripMargin,
+    "q67_javalucene_norms" -> s"$baseJl, hits AS (${hits("spark")}) ${top(30)}",
     "q23_missing_term" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0",
     "q24_pure_negative" ->

@@ -165,6 +165,16 @@ object SparkEntry {
     // (absent in the reference; Lucene surface), distributed constant-score
     // multi-term rewrite — dictionary never expanded on the driver
     "q60_fuzzy" -> topk(FuzzyQ("spark", 2), 30),
+    // Fuzzy via the trigram sidecar: candidates from gram SEEKS (In(gram)
+    // row-group pushdown — IO ∝ the query's gram postings, not the
+    // dictionary), exact-DP re-check, then a term-set posting scan. Same
+    // semantics as the scan path; different (sub-linear) execution route.
+    "q68_fuzzy_seek" -> ((spark: SparkSession, sfDir: String) => {
+      val s = searcher(spark, sfDir)
+      val ng = FuzzyNgrams.buildOrLoad(spark, s.index)
+      s.searchFuzzySeek(spark, FuzzyQ("spark", 1), 30, ng)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+    }),
     // TopFieldCollector: matches sorted by a stored field (n_chars desc)
     "q21_sort_by_field" -> ((spark: SparkSession, sfDir: String) => {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -770,6 +780,12 @@ object SparkEntry {
     "q60_fuzzy" ->
       s"""$base, hits AS (SELECT DISTINCT doc_id, 1.0 AS s FROM sc
          |                WHERE levenshtein(term, 'spark') <= 2)
+         |${top(30)}""".stripMargin,
+    // same metric, tighter radius — the sidecar path must land on the
+    // identical doc set the oracle derives by brute force
+    "q68_fuzzy_seek" ->
+      s"""$base, hits AS (SELECT DISTINCT doc_id, 1.0 AS s FROM sc
+         |                WHERE levenshtein(term, 'spark') <= 1)
          |${top(30)}""".stripMargin,
     "q21_sort_by_field" ->
       s"""$base, m AS (SELECT DISTINCT doc_id FROM sc WHERE term = 'dup')

@@ -498,6 +498,33 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       Bm25.buildCacheFor(index.manifest.normMode, index.stats.avgdl), n)
   }
 
+  /** Fuzzy top-k via the [[FuzzyNgrams]] sidecar: candidate terms come
+    * from gram SEEKS (In(gram) row-group pushdown — IO ∝ the query's gram
+    * postings, not the dictionary), then the query rewrites to the same
+    * constant-score term set the scan-filter path would match, so the
+    * posting scan gets full term-seek pushdown too. Falls back to the
+    * [[FuzzyPred]] scan path when the count threshold cannot prune (short
+    * terms) or the candidate set exceeds `maxExpansions` (audited cap,
+    * logged — never silently truncated: a capped expansion would change
+    * results vs the exhaustive path).
+    */
+  def searchFuzzySeek(spark: SparkSession, q: FuzzyQ, k: Int, ngrams: FuzzyNgrams,
+                      maxExpansions: Int = 4096): Dataset[ScoredDoc] = {
+    require(ngrams.generation == index.manifest.generation,
+      s"fuzzy sidecar generation ${ngrams.generation} != index generation " +
+        s"${index.manifest.generation} — rebuild via FuzzyNgrams.buildOrLoad")
+    ngrams.candidates(spark, q.term, q.maxEdits) match {
+      case None => search(spark, q, k) // short term: threshold can't prune
+      case Some(cand) =>
+        val terms = cand.limit(maxExpansions + 1).collect().map(_.getString(0))
+        if (terms.length > maxExpansions) {
+          System.err.println(s"[graft] WARNING: fuzzy '${q.term}'~${q.maxEdits}: " +
+            s"candidates exceed maxExpansions=$maxExpansions — falling back to the scan path")
+          search(spark, q, k)
+        } else search(spark, ConstQ(TermInSetQ(terms.toSet), 1.0), k)
+    }
+  }
+
   /** Top-k search. Returns a DataFrame (doc_id, score) ordered by
     * score desc, doc_id asc, limited to k.
     */

@@ -74,6 +74,26 @@ object CheckIndex {
     val belowFloor = onDiskGens.filter(g => g < manifest.minGen)
     if (belowFloor.nonEmpty)
       println(s"[graft] WARNING: generations below the visibility floor (minGen=${manifest.minGen}) still on disk: ${belowFloor.mkString(",")} (invisible to readers; reclaimable)")
+    // derived fuzzy-ngram sidecars are generation-keyed (v=<gen>_n<N>_c<codec>):
+    // a version not matching the committed generation is stale garbage a
+    // crashed rebuild left behind (buildOrLoad reaps on next use); a
+    // current-generation dir without _SUCCESS is an incomplete build and
+    // will never serve candidates
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/fuzzy_ngrams")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) {
+        val vers = f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        val currentPrefix = s"v=${manifest.generation}_"
+        val stale = vers.filterNot(_.startsWith(currentPrefix))
+        if (stale.nonEmpty)
+          println(s"[graft] WARNING: stale fuzzy-ngram sidecar versions ${stale.mkString(",")} (superseded by gen=${manifest.generation}; never served — reclaimable)")
+        vers.filter(_.startsWith(currentPrefix)).foreach { v =>
+          if (!f.exists(new org.apache.hadoop.fs.Path(p, s"$v/_SUCCESS")))
+            println(s"[graft] WARNING: fuzzy-ngram sidecar $v has no _SUCCESS (incomplete build; will be rebuilt on next use)")
+        }
+      }
+    }
 
     // ---- 2. posting-list structural invariants -------------------------
     val hasPositions = manifest.hasPositions

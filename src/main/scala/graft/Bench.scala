@@ -226,8 +226,13 @@ object Bench {
         (pairedRoundOk(_.batchSecs) || pairedRoundOk(_.batchSelSecs)) &&
         (pairedRoundOk(_.buildSecs) || pairedRoundOk(_.buildContigSecs))
       val overBudget = (System.nanoTime() - tStart) / 1e9 > budgetSecs
+      // the conservative (per-level-best) stop needs >= 2 rounds just like
+      // pairedOk: with one round the per-level minima ARE that round, so a
+      // dirty window that slowed only the N level reads as >= 0.8 and would
+      // end the hunt on an inflated ratio (observed: a 2x-slow N batch
+      // "demonstrating" qe = 1.01 in round 1)
       done = runs.size >= maxRounds || overBudget ||
-        (math.max(eff, ceff) >= 0.8 && math.max(qe, qeSel) >= 0.8) || pairedOk
+        (runs.size >= 2 && math.max(eff, ceff) >= 0.8 && math.max(qe, qeSel) >= 0.8) || pairedOk
       System.err.println(f"[bench] round ${runs.size}: buildEff=$eff%.3f contigEff=$ceff%.3f " +
         f"qpsEff=$qe%.3f qpsSelEff=$qeSel%.3f pairedOk=$pairedOk overBudget=$overBudget " +
         f"calib(N)=${bN.calibSecs}%.2f calib(4N)=${b4.calibSecs}%.2f")
@@ -418,10 +423,18 @@ object Bench {
       sbig.searchSortBy(spark, hotQ, bigFields,
         Seq(org.apache.spark.sql.functions.col("norm").desc,
           org.apache.spark.sql.functions.col("doc_id").asc), k).collect() // warm
-      val (_, seHotSecs) = timed(sbig.searchSortedTopK(spark, hotQ, k).collect())
-      val (_, sfHotSecs) = timed(sbig.searchSortBy(spark, hotQ, bigFields,
+      val (seHotRows, seHotSecs) = timed(sbig.searchSortedTopK(spark, hotQ, k).collect())
+      val (sfHotRows, sfHotSecs) = timed(sbig.searchSortBy(spark, hotQ, bigFields,
         Seq(org.apache.spark.sql.functions.col("norm").desc,
           org.apache.spark.sql.functions.col("doc_id").asc), k).collect())
+      // the early/full pair is only a benchmark if it IS the same result
+      // two ways — assert the rank identity the timing claim rests on
+      // (would otherwise silently survive a corpus-generator or sort-key
+      // drift and publish a "win" between two different queries)
+      val seIds = seHotRows.map(_.docId).toSeq
+      val sfIds = sfHotRows.map(r => r.getLong(r.fieldIndex("doc_id"))).toSeq
+      require(seIds == sfIds,
+        s"sorted early-termination rank identity broken: early=$seIds full=$sfIds")
       val hotOpTimes = Seq("sorted_early_hot" -> seHotSecs, "sorted_full_hot" -> sfHotSecs)
       (times ++ localTimes ++ pipeTimes ++ blendedTimes ++ newOpTimes ++ hotOpTimes :+ ("batch200" -> batchSecs), bs, idx.stats.docCount)
     } finally spark.stop()

@@ -74,21 +74,36 @@ object CheckIndex {
     val belowFloor = onDiskGens.filter(g => g < manifest.minGen)
     if (belowFloor.nonEmpty)
       println(s"[graft] WARNING: generations below the visibility floor (minGen=${manifest.minGen}) still on disk: ${belowFloor.mkString(",")} (invisible to readers; reclaimable)")
-    // derived fuzzy-ngram sidecars are generation-keyed (v=<gen>_n<N>_c<codec>):
-    // a version not matching the committed generation is stale garbage a
-    // crashed rebuild left behind (buildOrLoad reaps on next use); a
-    // current-generation dir without _SUCCESS is an incomplete build and
-    // will never serve candidates
+    // derived fuzzy-ngram sidecars are keyed by the FULL version name
+    // (v=<gen>_n<N>_c<codec> — the key buildOrLoad matches on): anything
+    // else is never served. A version of a still-LIVE older generation may
+    // be serving a concurrent reader (buildOrLoad reaps only dead
+    // generations); dead-generation or wrong-width/codec versions are
+    // garbage. The current dir without _SUCCESS is an incomplete build.
     locally {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/fuzzy_ngrams")
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(p)) {
         val vers = f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-        val currentPrefix = s"v=${manifest.generation}_"
-        val stale = vers.filterNot(_.startsWith(currentPrefix))
-        if (stale.nonEmpty)
-          println(s"[graft] WARNING: stale fuzzy-ngram sidecar versions ${stale.mkString(",")} (superseded by gen=${manifest.generation}; never served — reclaimable)")
-        vers.filter(_.startsWith(currentPrefix)).foreach { v =>
+        val current = graft.search.FuzzyNgrams.currentVersionName(manifest)
+        val (live, dead) = vers.filterNot(_ == current).partition { v =>
+          v match {
+            case graft.search.FuzzyNgrams.VersionRe(g) =>
+              val gen = g.toLong
+              // live = could serve a concurrent reader: a live generation
+              // AND the exact name this engine writes for it (a wrong
+              // gram-width/codec suffix is never matched by buildOrLoad)
+              gen >= manifest.minGen && gen <= manifest.generation &&
+                !manifest.deadGens.contains(gen) &&
+                v == s"v=${gen}_n${graft.search.FuzzyNgrams.N}_c${manifest.codecVersion}"
+            case _ => false
+          }
+        }
+        if (dead.nonEmpty)
+          println(s"[graft] WARNING: dead fuzzy-ngram sidecar versions ${dead.mkString(",")} (dead generation or wrong gram-width/codec; never served — reclaimable)")
+        if (live.nonEmpty)
+          println(s"[graft] NOTE: superseded fuzzy-ngram sidecar versions ${live.mkString(",")} of still-live generations (kept for concurrent readers; reclaimed when a merge advances the floor)")
+        vers.filter(_ == current).foreach { v =>
           if (!f.exists(new org.apache.hadoop.fs.Path(p, s"$v/_SUCCESS")))
             println(s"[graft] WARNING: fuzzy-ngram sidecar $v has no _SUCCESS (incomplete build; will be rebuilt on next use)")
         }

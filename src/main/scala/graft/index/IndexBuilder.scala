@@ -167,16 +167,21 @@ object IndexBuilder {
                   inputPath: String = ""): BuiltIndex = {
     IndexIO.readManifest(spark, indexDir) match {
       case Some(m) if inputPath.nonEmpty && m.corpusSha == indexFingerprint(inputPath, m.stats.docCount) =>
-        // feature flags must match the request, not just the corpus: reusing
-        // a positions-less index for a storePositions=true request would
-        // report success here and throw at phrase-query time (and a norm-mode
-        // mismatch would silently score wrong). Mirror the append-match
-        // requires: rebuild on mismatch, loudly.
+        // feature flags: reuse when the committed index can SERVE the
+        // request (committed features ⊇ requested). Reusing a positions-less
+        // index for a storePositions=true request would report success here
+        // and throw at phrase-query time, and a norm-mode mismatch would
+        // silently score wrong — those rebuild, loudly (mirroring the
+        // append-match requires). But a RICHER committed index serves a
+        // plainer request correctly; destructively rebuilding on a subset
+        // request would strip positions/TV/offsets/payloads that other
+        // consumers of the same index dir rely on (and two callers with
+        // different configs would thrash full rebuilds forever).
         val featuresMatch =
-          m.hasPositions == cfg.storePositions &&
-            m.hasTermVectors == cfg.storeTermVectors &&
-            m.hasOffsets == cfg.storeOffsets &&
-            m.hasPayloads == cfg.storePayloads &&
+          (!cfg.storePositions || m.hasPositions) &&
+            (!cfg.storeTermVectors || m.hasTermVectors) &&
+            (!cfg.storeOffsets || m.hasOffsets) &&
+            (!cfg.storePayloads || m.hasPayloads) &&
             m.normMode == cfg.normMode
         if (featuresMatch) new BuiltIndex(indexDir, m)
         else {

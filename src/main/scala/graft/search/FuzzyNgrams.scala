@@ -38,7 +38,9 @@ import graft.index.BuiltIndex
   * directory named by (manifest generation, n, codec version) and gated on
   * `_SUCCESS`. Any append or merge bumps the generation, so a stale
   * sidecar can never serve candidates for a dictionary it has not seen —
-  * [[buildOrLoad]] rebuilds and reaps superseded sidecar dirs. Ghost terms
+  * [[buildOrLoad]] rebuilds, reaping only sidecars of DEAD generations
+  * (below the manifest's minGen floor or in deadGens): a live older
+  * generation may still be serving a concurrent reader. Ghost terms
   * from tombstoned docs may remain in the sidecar: a candidate SUPERSET is
   * harmless (their postings are tombstone-filtered like any other query).
   */
@@ -113,8 +115,19 @@ object FuzzyNgrams {
 
   private def root(index: BuiltIndex): String = s"${index.indexDir}/fuzzy_ngrams"
 
+  /** The exact sidecar dir name serving a given manifest: generation +
+    * gram width + codec version. Exposed so CheckIndex classifies versions
+    * by the SAME full key buildOrLoad matches on — a current-generation dir
+    * with a different gram width/codec is never served and must read as
+    * stale, not current. */
+  def currentVersionName(m: graft.index.Manifest): String =
+    s"v=${m.generation}_n${N}_c${m.codecVersion}"
+
+  /** Parses the generation out of a sidecar dir name. */
+  private[graft] val VersionRe = """v=(\d+)_.*""".r
+
   private def versionName(index: BuiltIndex): String =
-    s"v=${index.manifest.generation}_n${N}_c${index.manifest.codecVersion}"
+    currentVersionName(index.manifest)
 
   /** Load the sidecar matching THIS index generation, building it (and
     * reaping superseded sidecar dirs) when absent. The build is one
@@ -137,11 +150,28 @@ object FuzzyNgrams {
     rows.repartitionByRange(col("gram")).sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(dir)
 
-    // reap superseded sidecar versions (best effort, after the new commit)
+    // reap sidecars of DEAD generations only (best effort, after the new
+    // commit): a generation below the manifest's visibility floor (minGen)
+    // or in deadGens has had its posting dirs deleted, so no reader it
+    // could serve survives. A sidecar of a LIVE older generation must stay
+    // — a concurrent reader holding that generation's manifest (valid: its
+    // posting dirs are still on disk after a plain append) would otherwise
+    // crash mid-query with FileNotFoundException instead of this class's
+    // clean generation-mismatch error. Live-but-superseded versions are
+    // reclaimed when a merge advances minGen (next buildOrLoad), and
+    // CheckIndex reports them in the meantime.
+    val m = index.manifest
     val rp = new org.apache.hadoop.fs.Path(root(index))
     fs.listStatus(rp).foreach { st =>
-      if (st.isDirectory && st.getPath.getName != versionName(index))
-        fs.delete(st.getPath, true)
+      if (st.isDirectory && st.getPath.getName != versionName(index)) {
+        val dead = st.getPath.getName match {
+          case VersionRe(g) =>
+            val gen = g.toLong
+            gen < m.minGen || m.deadGens.contains(gen)
+          case _ => true // unparseable garbage (never a serveable version)
+        }
+        if (dead) fs.delete(st.getPath, true)
+      }
     }
     new FuzzyNgrams(dir, index.manifest.generation)
   }

@@ -415,7 +415,10 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
   def searchSortByAfter(spark: SparkSession, q0: Query, fields: DataFrame,
                         sortField: String, ascending: Boolean, k: Int,
                         after: Option[(Any, Long)]): DataFrame = {
-    val matches = scoreAll(spark, q0).toDF("doc_id", "score").select("doc_id")
+    // field order discards scores entirely, so run the NON-scoring match
+    // kernel (constant-score: no freq decode, no norm/idf math) — every
+    // page of a deep-paging session repeats this kernel
+    val matches = matchingDocs(spark, q0).toDF("doc_id", "z").select("doc_id")
     val f = col(sortField)
     val paged = after match {
       case None => fields

@@ -134,7 +134,7 @@ class FuzzyNgramsSpec extends AnyFunSuite {
       s"expected termLen window pushdown in: $pushed")
   }
 
-  test("sidecar is generation-keyed: appends invalidate, buildOrLoad reaps stale versions") {
+  test("sidecar is generation-keyed: appends invalidate, merges reap dead versions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fngram-gen").toString
     val idx = IndexBuilder.build(spark, docs.toDF("doc_id", "text"), "doc_id", "text", dir,
       BuildConfig(numSegments = 2, chunkDocs = 128))
@@ -153,7 +153,11 @@ class FuzzyNgramsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       s2.searchFuzzySeek(spark, FuzzyQ("spark", 1), 10, ng)
     }
-    // rebuilding sees the appended term and reaps the superseded version
+    // rebuilding sees the appended term; the OLD sidecar version is KEPT —
+    // its generation is still live (a concurrent reader holding the gen-1
+    // manifest is still valid after a plain append, and deleting the
+    // sidecar under it would crash that reader mid-query instead of the
+    // clean generation-mismatch error above)
     val ng2 = FuzzyNgrams.buildOrLoad(spark, idx2)
     assert(ng2.generation == idx2.manifest.generation)
     val seek = s2.searchFuzzySeek(spark, FuzzyQ("spark", 1), 300, ng2).collect().map(_.docId).toSet
@@ -161,8 +165,20 @@ class FuzzyNgramsSpec extends AnyFunSuite {
     val scan = s2.search(spark, FuzzyQ("spark", 1), 300).collect().map(_.docId).toSet
     assert(seek == scan)
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fuzzy_ngrams"))
-      .filter(_.isDirectory).map(_.getPath.getName).toSeq
-    assert(versions == Seq(new java.io.File(ng2.dataDir).getName))
+    def versions(): Set[String] = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fuzzy_ngrams"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(versions() ==
+      Set(new java.io.File(ng.dataDir).getName, new java.io.File(ng2.dataDir).getName))
+
+    // a forceMerge raises the visibility floor past the old generations —
+    // the next buildOrLoad reaps every sidecar below it
+    val idx3 = graft.index.IndexOps.forceMerge(spark, dir)
+    assert(idx3.manifest.minGen == idx3.manifest.generation)
+    val ng3 = FuzzyNgrams.buildOrLoad(spark, idx3)
+    assert(ng3.generation == idx3.manifest.generation)
+    assert(versions() == Set(new java.io.File(ng3.dataDir).getName))
+    val s3 = new IndexSearcher(idx3)
+    val seek3 = s3.searchFuzzySeek(spark, FuzzyQ("spark", 1), 300, ng3).collect().map(_.docId).toSet
+    assert(seek3 == s3.search(spark, FuzzyQ("spark", 1), 300).collect().map(_.docId).toSet)
   }
 }

@@ -126,5 +126,18 @@ class PayloadSpec extends AnyFunSuite {
       BuildConfig(numSegments = 2, chunkDocs = 128, storePositions = true, storePayloads = true),
       inputPath = "memA")
     assert(again.manifest.generation == rich.manifest.generation)
+    // feature SUBSET request: the richer committed index serves it — no
+    // destructive rebuild stripping positions/payloads out from under
+    // other consumers of the same dir (reuse keeps the generation AND the
+    // committed features)
+    val subset = IndexBuilder.buildOrLoad(spark, df, "doc_id", "text", dir,
+      BuildConfig(numSegments = 2, chunkDocs = 128), inputPath = "memA")
+    assert(subset.manifest.generation == rich.manifest.generation)
+    assert(subset.manifest.hasPositions && subset.manifest.hasPayloads)
+    // but a norm-mode mismatch always rebuilds (scores would differ)
+    val renormed = IndexBuilder.buildOrLoad(spark, df, "doc_id", "text", dir,
+      BuildConfig(numSegments = 2, chunkDocs = 128, normMode = graft.bm25.NormMode.JavaLucene),
+      inputPath = "memA")
+    assert(renormed.manifest.normMode == graft.bm25.NormMode.JavaLucene)
   }
 }

@@ -677,12 +677,52 @@ final class DisjunctionSumScorer(subs: Array[Scorer], msm: Int) extends Scorer {
   *                       (docs must score STRICTLY above it to enter — ties
   *                       lose on docId asc and docIds only grow)
   */
-final class WandScorer(subs: Array[Scorer], minCompetitive: () => Double) extends Scorer {
-  private var cur = -1
-  private var curScore = 0.0
+final class WandScorer(subs: Array[Scorer], minCompetitive: () => Double)
+    extends WandIterationScorer(subs, minCompetitive) {
+  lazy val maxScore: Double = subs.map(_.maxScore).sum
+  // additive bound: any clause subset's sum is bounded by the sum of its
+  // per-clause upper bounds (sumUb is accumulated in byDoc order, the same
+  // float adds the pre-unification pivot loop performed)
+  protected def bound(maxUb: Double, sumUb: Double): Double = sumUb
+  /** Sum in ORIGINAL clause order — the canonical float64 addition order
+    * shared with the exhaustive oracle (the reference's own
+    * DisjunctionSumScorer is a stub, so clause order is our spec). */
+  protected def scoreAt(doc: Int): Double = {
+    var sc = 0.0
+    var j = 0
+    while (j < subs.length) {
+      if (subs(j).docId == doc) sc += subs(j).score()
+      j += 1
+    }
+    sc
+  }
+}
+
+/** The WAND iteration skeleton (pivot selection over docId-sorted clauses,
+  * block-max re-check, advance bookkeeping) shared by the additive
+  * [[WandScorer]] and the dismax [[DisjMaxWandScorer]] — ONE copy of the
+  * trickiest loop in the engine, parameterized over (a) the subset upper
+  * bound and (b) the exact combiner. `bound(maxUb, sumUb)` must be
+  * monotone in prefix extension (adding a clause only grows both args) and
+  * must bound `scoreAt` over any clause subset with those statistics —
+  * pruning then only skips docs that provably cannot beat theta, keeping
+  * top-k rank-identical to the exhaustive path (property-tested for both
+  * subclasses).
+  */
+abstract class WandIterationScorer(subs: Array[Scorer],
+                                   minCompetitive: () => Double) extends Scorer {
+  protected var cur = -1
+  protected var curScore = 0.0
   def docId: Int = cur
   def cost: Long = subs.map(_.cost).sum
-  lazy val maxScore: Double = subs.map(_.maxScore).sum
+
+  /** Upper bound of any clause subset whose per-clause upper bounds have
+    * maximum `maxUb` and sum `sumUb`. */
+  protected def bound(maxUb: Double, sumUb: Double): Double
+
+  /** Exact score of the clauses positioned at `doc`, in original clause
+    * order (the fp op order shared with the matching exhaustive scorer). */
+  protected def scoreAt(doc: Int): Double
 
   private val byDoc: Array[Scorer] = subs.clone()
 
@@ -700,18 +740,21 @@ final class WandScorer(subs: Array[Scorer], minCompetitive: () => Double) extend
 
   private def positionAt(target0: Int): Int = {
     var target = target0
-    var guard = true
-    while (guard) {
+    while (true) {
       val theta = minCompetitive()
       sortByDoc()
       if (byDoc(0).docId == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
-      // pivot: first prefix whose summed max scores can beat theta
-      var acc = 0.0
+      // pivot: first prefix whose bound can beat theta (monotone in prefix
+      // extension: each clause only grows maxUb and sumUb)
+      var maxUb = 0.0
+      var sumUb = 0.0
       var pi = -1
       var j = 0
       while (j < byDoc.length && pi < 0) {
-        acc += byDoc(j).maxScore
-        if (acc > theta) pi = j
+        val ub = byDoc(j).maxScore
+        if (ub > maxUb) maxUb = ub
+        sumUb += ub
+        if (bound(maxUb, sumUb) > theta) pi = j
         j += 1
       }
       if (pi < 0) { cur = DISI.NO_MORE; return cur } // nothing can be competitive
@@ -719,27 +762,24 @@ final class WandScorer(subs: Array[Scorer], minCompetitive: () => Double) extend
       if (pivot == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
       if (pivot < target) pivot = target
       if (byDoc(0).docId >= pivot) {
-        // all clauses below the pivot sum are AT the pivot (sorted order):
-        // block-max re-check before full evaluation
-        var blockSum = 0.0
+        // all clauses below the pivot bound are AT the pivot (sorted
+        // order): block-max re-check before full evaluation
+        var bMax = 0.0
+        var bSum = 0.0
         j = 0
         while (j < byDoc.length) {
-          if (byDoc(j).docId == pivot) blockSum += (byDoc(j) match {
-            case p: PostingsScorer => p.blockMaxScoreUpTo(pivot)
-            case s => s.maxScore
-          })
+          if (byDoc(j).docId == pivot) {
+            val ub = byDoc(j) match {
+              case p: PostingsScorer => p.blockMaxScoreUpTo(pivot)
+              case s => s.maxScore
+            }
+            if (ub > bMax) bMax = ub
+            bSum += ub
+          }
           j += 1
         }
-        if (blockSum > theta) {
-          // sum in ORIGINAL clause order — the canonical float64 addition
-          // order shared with the exhaustive oracle (the reference's own
-          // DisjunctionSumScorer is a stub, so clause order is our spec)
-          var sc = 0.0
-          j = 0
-          while (j < subs.length) {
-            if (subs(j).docId == pivot) sc += subs(j).score()
-            j += 1
-          }
+        if (bound(bMax, bSum) > theta) {
+          val sc = scoreAt(pivot)
           if (sc > theta) { cur = pivot; curScore = sc; return cur }
         }
         // not competitive: move every clause past this pivot
@@ -758,7 +798,7 @@ final class WandScorer(subs: Array[Scorer], minCompetitive: () => Double) extend
         }
       }
     }
-    cur
+    cur // unreachable (the loop exits via return)
   }
 
   def nextDoc(): Int = if (cur == DISI.NO_MORE) cur else positionAt(cur + 1)
@@ -840,32 +880,21 @@ final class ReqExclScorer(req: Scorer, excl: Scorer) extends Scorer {
   * rank-identical (property-tested under k=1 pruning pressure).
   */
 final class DisjMaxWandScorer(subs: Array[Scorer], tieBreak: Double,
-                              minCompetitive: () => Double) extends Scorer {
-  private var cur = -1
-  private var curScore = 0.0
-  def docId: Int = cur
-  def cost: Long = subs.map(_.cost).sum
+                              minCompetitive: () => Double)
+    extends WandIterationScorer(subs, minCompetitive) {
   lazy val maxScore: Double = {
     val ubs = subs.map(_.maxScore)
     (1.0 - tieBreak) * ubs.max + tieBreak * ubs.sum
   }
 
-  private val byDoc: Array[Scorer] = subs.clone()
-
-  private def sortByDoc(): Unit = {
-    var j = 1
-    while (j < byDoc.length) {
-      val s = byDoc(j)
-      var p = j - 1
-      while (p >= 0 && byDoc(p).docId > s.docId) { byDoc(p + 1) = byDoc(p); p -= 1 }
-      byDoc(p + 1) = s
-      j += 1
-    }
-  }
+  // dismax bound: score = (1-tb)·mx + tb·sum with mx <= maxUb, sum <= sumUb
+  // and both coefficients non-negative (tb ∈ [0,1])
+  protected def bound(maxUb: Double, sumUb: Double): Double =
+    (1.0 - tieBreak) * maxUb + tieBreak * sumUb
 
   /** Exact dismax score of the clauses positioned at `doc`, in ORIGINAL
     * clause order — the same fp op order as [[DisjunctionMaxScorer]]. */
-  private def scoreAt(doc: Int): Double = {
+  protected def scoreAt(doc: Int): Double = {
     var mx = Double.NegativeInfinity
     var sum = 0.0
     var j = 0
@@ -875,70 +904,6 @@ final class DisjMaxWandScorer(subs: Array[Scorer], tieBreak: Double,
     }
     mx + tieBreak * (sum - mx)
   }
-
-  private def positionAt(target0: Int): Int = {
-    var target = target0
-    while (true) {
-      val theta = minCompetitive()
-      sortByDoc()
-      if (byDoc(0).docId == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
-      // pivot: first prefix whose dismax bound can beat theta (the bound is
-      // monotone in prefix extension: adding a clause raises max and sum)
-      var maxUb = 0.0
-      var sumUb = 0.0
-      var pi = -1
-      var j = 0
-      while (j < byDoc.length && pi < 0) {
-        val ub = byDoc(j).maxScore
-        if (ub > maxUb) maxUb = ub
-        sumUb += ub
-        if ((1.0 - tieBreak) * maxUb + tieBreak * sumUb > theta) pi = j
-        j += 1
-      }
-      if (pi < 0) { cur = DISI.NO_MORE; return cur }
-      var pivot = byDoc(pi).docId
-      if (pivot == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
-      if (pivot < target) pivot = target
-      if (byDoc(0).docId >= pivot) {
-        // block-max re-check over the clauses AT the pivot
-        var bMax = 0.0
-        var bSum = 0.0
-        j = 0
-        while (j < byDoc.length) {
-          if (byDoc(j).docId == pivot) {
-            val ub = byDoc(j) match {
-              case p: PostingsScorer => p.blockMaxScoreUpTo(pivot)
-              case s => s.maxScore
-            }
-            if (ub > bMax) bMax = ub
-            bSum += ub
-          }
-          j += 1
-        }
-        if ((1.0 - tieBreak) * bMax + tieBreak * bSum > theta) {
-          val sc = scoreAt(pivot)
-          if (sc > theta) { cur = pivot; curScore = sc; return cur }
-        }
-        j = 0
-        while (j < byDoc.length) {
-          if (byDoc(j).docId == pivot) byDoc(j).advance(pivot + 1)
-          j += 1
-        }
-        target = pivot + 1
-      } else {
-        j = 0
-        while (j < byDoc.length) {
-          if (byDoc(j).docId < pivot) byDoc(j).advance(pivot)
-          j += 1
-        }
-      }
-    }
-    cur
-  }
-
-  def nextDoc(): Int = if (cur == DISI.NO_MORE) cur else positionAt(cur + 1)
-  def advance(target: Int): Int = if (cur == DISI.NO_MORE || cur >= target) cur else positionAt(target)
-  def score(): Double = curScore
 }
 
 /** max + tieBreak*(sum-max) over sub-scores (`core/search/disjunctionmaxquery.go:5-34`). */

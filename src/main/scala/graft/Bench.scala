@@ -338,10 +338,13 @@ object Bench {
     // with 0.439). Every execution therefore appends its raw per-round
     // walls to BENCH/runs.jsonl, and the best HEALTHY paired round across
     // ALL recorded runs of the identical protocol is reported alongside
-    // this run's numbers: evidence becomes monotone — more runs can only
-    // sharpen the round-best, never erase it. Same health rule as within a
-    // run (both walls within PairHealthFactor of the per-level minima,
-    // computed globally), one level up.
+    // this run's numbers. The per-level best walls are monotone (a dirty
+    // run can never erase a clean minimum); the PAIRED estimate is not —
+    // a cleaner minimum tightens the health gate and may disqualify a
+    // previously-admitted pair whose N wall now reads as inflated (the
+    // gate getting sharper, not evidence being lost). Same health rule as
+    // within a run (both walls within PairHealthFactor of the per-level
+    // minima, computed globally), one level up.
     appendRunHistory(benchMode, nDocs, nQueries, nSelQueries, lvlN, lvl4N, runs)
     val histRuns = loadRunHistory(benchMode, nDocs, nQueries, nSelQueries, lvlN, lvl4N)
     val histRounds = histRuns.flatMap(_.rounds)

@@ -1,0 +1,279 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.SparkEntry
+import graft.index.{BuildConfig, IndexBuilder}
+import graft.search._
+
+/** Optimization-round measurement harness (guide §1) — SEPARATE from the
+  * frozen [[graft.Bench]] driver contract. Three modes via first arg:
+  *
+  *  - `interactive` (default): the same per-query wall-clock rows as
+  *    Bench's interactive section (same warmups, same actions, same index
+  *    geometry) so before/after numbers are comparable per query, without
+  *    paying for the ~25-minute scaling levels.
+  *  - `batch`: the 2M-doc synthetic corpus whole-vocab + selective batches
+  *    in THIS JVM at local[8] then local[32], with the per-task kernel-time
+  *    accumulator printed (GRAFT_BATCH_TIMING) — the work-invariant metric
+  *    VERDICT r5 #1 targets (Σ task kernel time, not walls).
+  *  - `plans`: dump `.explain("formatted")` of the bench-surface queries to
+  *    the directory given as second arg (e.g. plans/r06, suffix `_before` /
+  *    `_after` as third arg).
+  */
+object BenchExtra {
+
+  /** Same remap as Bench's (private there; Bench.scala is frozen). */
+  private def remapToSfVocab(q: Query): Query = {
+    val vocab = Vector("join", "hash", "row", "batch", "scan", "customer", "column",
+      "filter", "small", "merge", "slow", "order", "vector", "line", "data", "table",
+      "agg", "value", "key", "stream", "window", "spark", "group", "part", "big",
+      "sort", "query", "fast", "dup")
+    def remap(t: String): String = vocab(math.abs(t.hashCode) % vocab.size)
+    q match {
+      case TermQ(t) => TermQ(remap(t))
+      case BoolQ(m, s, f, n, msm) =>
+        BoolQ(m.map(remapToSfVocab), s.map(remapToSfVocab), f.map(remapToSfVocab),
+          n.map(remapToSfVocab), msm)
+      case BoostQ(s, b) => BoostQ(remapToSfVocab(s), b)
+      case ConstQ(s, b) => ConstQ(remapToSfVocab(s), b)
+      case DisjMaxQ(qs, tb) => DisjMaxQ(qs.map(remapToSfVocab), tb)
+      case TermInSetQ(ts) => TermInSetQ(ts.map(remap))
+      case other => other
+    }
+  }
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def session(cpus: Int, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-benchextra-$cpus")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.headOption.getOrElse("interactive") match {
+    case "interactive" => interactive(args.drop(1).headOption.map(_.toInt).getOrElse(2))
+    case "batch" => batch()
+    case "plans" => plans(args(1), args.lift(2).getOrElse(""))
+    case other => sys.error(s"unknown mode $other")
+  }
+
+  /** The Bench interactive section, repeated `reps` times (min reported):
+    * the sandbox host wanders ±50%, so min-of-reps is the comparable
+    * number. Order and actions mirror Bench.main exactly. */
+  private def interactive(reps: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = session(cpus, shufflePartitions = cpus)
+    val F = org.apache.spark.sql.functions
+    try {
+      val docsPath = s"$sfDir/documents.parquet"
+      val indexDir = s"${sys.props("java.io.tmpdir")}/graft-bench-sf-${IndexBuilder.sha256Hex(docsPath).take(12)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir))
+      val docs = spark.read.parquet(docsPath)
+      val (idx, buildSecs) = timed {
+        IndexBuilder.build(spark, docs, "doc_id", "text", indexDir,
+          BuildConfig(numSegments = 8, chunkDocs = 512))
+      }
+      System.err.println(f"[extra] interactive build: $buildSecs%.2f s")
+      val searcher = new IndexSearcher(idx)
+      val interactive: Seq[(String, Query)] = Seq(
+        "term_hot" -> TermQ("spark"),
+        "term_rare" -> TermQ("dup"),
+        "and2" -> BoolQ(must = Seq(TermQ("spark"), TermQ("join"))),
+        "or_wand" -> BoolQ(should = Seq(TermQ("dup"), TermQ("vector"))),
+        "or_msm2" -> BoolQ(should = Seq(TermQ("spark"), TermQ("data"), TermQ("dup")), minShouldMatch = 2),
+        "must_not" -> BoolQ(must = Seq(TermQ("query")), mustNot = Seq(TermQ("dup"))),
+        "dismax" -> DisjMaxQ(Seq(TermQ("join"), TermQ("hash")), 0.3))
+      searcher.search(spark, TermQ("spark"), 10).collect() // warm-up
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      def rec(name: String, secs: Double): Unit =
+        acc(name) = math.min(acc.getOrElse(name, Double.MaxValue), secs)
+      for (_ <- 1 to reps) {
+        interactive.foreach { case (name, q) =>
+          val (_, secs) = timed(searcher.search(spark, q, 10).collect())
+          rec(name, secs)
+        }
+        interactive.foreach { case (name, q) =>
+          val (_, secs) = timed(searcher.searchLocal(spark, q, 10))
+          rec(s"local_$name", secs)
+        }
+        val sfQueries = SyntheticCorpus.referenceQueries(200).map { case (id, q) =>
+          id -> remapToSfVocab(q)
+        }
+        val (_, batchSecs) = timed(searcher.searchMany(spark, sfQueries, 10).count())
+        rec("batch200", batchSecs)
+        val (_, mhSecs) = timed(
+          graft.pipeline.MinHashLsh.nearDuplicates(spark, docs, "doc_id", "text").count())
+        rec("minhash_neardup", mhSecs)
+        val (_, shSecs) = timed(
+          graft.pipeline.SimHash.nearDuplicates(spark, docs, "doc_id", "text").count())
+        rec("simhash_neardup", shSecs)
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val qv = emb.where(col("vec_id") === 0L)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        val (_, annSecs) = timed(
+          graft.pipeline.Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", qv, 10).collect())
+        rec("ann_top10", annSecs)
+        val mf = SparkEntry.mfSearcher(spark, sfDir)
+        val blendedClauses = Seq(("text", "a", 1.0), ("lang", "en", 1.0))
+        mf.searchBlendedWand(spark, blendedClauses, 10).collect()
+        mf.searchBlended(spark,
+          blendedClauses.map { case (f, t, w) => (f, TermQ(t): Query, w) }, 10).collect()
+        val (_, blExSecs) = timed(mf.searchBlended(spark,
+          blendedClauses.map { case (f, t, w) => (f, TermQ(t): Query, w) }, 10).collect())
+        rec("blended_exhaustive", blExSecs)
+        val (_, blWandSecs) = timed(mf.searchBlendedWand(spark, blendedClauses, 10).collect())
+        rec("blended_wand", blWandSecs)
+        val sortedDir = s"${sys.props("java.io.tmpdir")}/graft-bench-sorted-${IndexBuilder.sha256Hex(docsPath).take(12)}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sortedDir))
+        val sortedIdx = IndexBuilder.buildSorted(spark, docs,
+          Seq(col("n_chars").desc, col("doc_id").asc),
+          "text", sortedDir,
+          BuildConfig(numSegments = 8, chunkDocs = 512, storeTermVectors = true))
+        val ss = new IndexSearcher(sortedIdx)
+        ss.facetTopTerms(spark, TermQ("dup"), 10).collect() // warm
+        val (_, facetSecs) = timed(ss.facetTopTerms(spark, TermQ("dup"), 10).collect())
+        rec("facet_selective", facetSecs)
+        ss.searchSortedTopK(spark, TermQ("spark"), 10).collect() // warm
+        val (_, seSecs) = timed(ss.searchSortedTopK(spark, TermQ("spark"), 10).collect())
+        rec("sorted_early_topk", seSecs)
+        val (_, sfSecs) = timed(
+          ss.matchingDocs(spark, TermQ("spark")).orderBy("docId").limit(10).collect())
+        rec("sorted_full_scan", sfSecs)
+        // the at-scale sorted pair over the 2M corpus (reused, fingerprint-gated)
+        val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "2000000").toLong
+        val corpusPath = SyntheticCorpus.ensureParquet(spark, nDocs, files = 64,
+          dir = sys.props("java.io.tmpdir"))
+        val bigDocs = spark.read.parquet(corpusPath)
+        val sortedBigDir = s"${sys.props("java.io.tmpdir")}/graft-bench-sortedbig2-$nDocs"
+        val bigSortCols = Seq(
+          F.when(F.col("content") === "", F.lit(0))
+            .otherwise(F.size(F.split(F.col("content"), " "))).desc,
+          F.col("doc_id").asc)
+        val bigSortSig = bigSortCols.map(_.toString).mkString(", ")
+        val bigFp = IndexBuilder.indexFingerprint(corpusPath, nDocs)
+        val sortedBig = graft.index.IndexIO.readManifest(spark, sortedBigDir) match {
+          case Some(m) if m.indexSort == bigSortSig && m.corpusSha == bigFp =>
+            new graft.index.BuiltIndex(sortedBigDir, m)
+          case _ =>
+            IndexBuilder.buildSorted(spark, bigDocs, bigSortCols,
+              "content", sortedBigDir,
+              BuildConfig(numSegments = 64, chunkDocs = 1024, outputPartitions = Some(cpus)),
+              inputPath = corpusPath)
+        }
+        val sbig = new IndexSearcher(sortedBig)
+        val hotQ: Query = BoolQ(should = Seq(TermQ("import"), TermQ("def"), TermQ("val")))
+        val bigFields = sortedBig.docmeta(spark)
+          .select(col("docId").as("doc_id"), col("norm"))
+        sbig.searchSortedTopK(spark, hotQ, 10).collect() // warm
+        sbig.searchSortBy(spark, hotQ, bigFields,
+          Seq(col("norm").desc, col("doc_id").asc), 10).collect() // warm
+        val (seHotRows, seHotSecs) = timed(sbig.searchSortedTopK(spark, hotQ, 10).collect())
+        val (sfHotRows, sfHotSecs) = timed(sbig.searchSortBy(spark, hotQ, bigFields,
+          Seq(col("norm").desc, col("doc_id").asc), 10).collect())
+        val seIds = seHotRows.map(_.docId).toSeq
+        val sfIds = sfHotRows.map(r => r.getLong(r.fieldIndex("doc_id"))).toSeq
+        require(seIds == sfIds,
+          s"sorted early-termination rank identity broken: early=$seIds full=$sfIds")
+        rec("sorted_early_hot", seHotSecs)
+        rec("sorted_full_hot", sfHotSecs)
+      }
+      val json = acc.map { case (n, s) => s""""$n":${"%.4f".format(s)}""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"benchextra_interactive_min_of_$reps","queries":$json}""")
+    } finally spark.stop()
+  }
+
+  /** Whole-vocab + selective batch with kernel attribution, at local[8]
+    * then local[32] in this JVM (the second level inherits JIT warmth;
+    * methodology constant across before/after, and the headline metric —
+    * Σ task kernel nanos — is work-invariant). */
+  private def batch(): Unit = {
+    val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "2000000").toLong
+    val nQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "4000").toInt
+    val nSel = sys.env.getOrElse("GRAFT_BENCH_QUERIES_SEL", "40000").toInt
+    val gen = session(32, 64)
+    val corpusPath =
+      try SyntheticCorpus.ensureParquet(gen, nDocs, files = 64, dir = sys.props("java.io.tmpdir"))
+      finally gen.stop()
+    val shm = "/dev/shm/graft-benchextra"
+    new java.io.File(shm).mkdirs()
+    for (cpus <- Seq(8, 32)) {
+      val shuffleParts = math.max(64, 4 * cpus)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(s"graft-benchextra-batch-$cpus")
+        .config("spark.sql.shuffle.partitions", shuffleParts.toString)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.local.dir", s"$shm/spark-n$cpus")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val cfg = BuildConfig(numSegments = 64, outputPartitions = Some(shuffleParts), chunkDocs = 1024)
+        val docs = spark.read.parquet(corpusPath)
+        val indexDir = s"$shm/idx-n$cpus"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir))
+        val (idx, buildSecs) = timed {
+          IndexBuilder.build(spark, docs, "doc_id", "content", indexDir, cfg)
+        }
+        val searcher = new IndexSearcher(idx)
+        val queries = SyntheticCorpus.referenceQueries(nQueries)
+        searcher.searchMany(spark, queries.take(300), 10).count() // warm
+        val walls = (1 to 2).map { _ =>
+          timed(searcher.searchMany(spark, queries, 10).collect())._2
+        }
+        val selQueries = SyntheticCorpus.selectiveQueries(nSel)
+        val (_, selSecs) = timed(searcher.searchMany(spark, selQueries, 10).collect())
+        println(f"EXTRABATCH cpus=$cpus build=$buildSecs%.2f " +
+          f"batch=${walls.min}%.2f batch2=${walls.max}%.2f sel=$selSecs%.2f")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir))
+      } finally spark.stop()
+    }
+  }
+
+  /** Dump `.explain("formatted")` plans of the bench-surface queries. */
+  private def plans(outDir: String, suffix: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val spark = session(cpus, shufflePartitions = cpus)
+    try {
+      def dump(name: String, df: org.apache.spark.sql.Dataset[_]): Unit = {
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outDir, s"$name$suffix.txt"), plan)
+        System.err.println(s"[plans] wrote $name$suffix")
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val s = SparkEntry.searcher(spark, sfDir)
+      dump("term_hot_search", s.search(spark, TermQ("spark"), 10))
+      dump("sort_by_field_q21", s.searchSortBy(spark, TermQ("dup"),
+        docs.select("doc_id", "n_chars"),
+        Seq(col("n_chars").desc, col("doc_id").asc), 10))
+      dump("minhash_neardup",
+        graft.pipeline.MinHashLsh.nearDuplicates(spark, docs, "doc_id", "text"))
+      dump("simhash_neardup",
+        graft.pipeline.SimHash.nearDuplicates(spark, docs, "doc_id", "text"))
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qv = emb.where(col("vec_id") === 0L)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      dump("ann_top10",
+        graft.pipeline.Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", qv, 10))
+    } finally spark.stop()
+  }
+}

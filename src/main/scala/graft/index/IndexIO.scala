@@ -185,13 +185,24 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
       .sorted
   }
 
+  // Per-(session, root) memo of the reader DataFrames: a BuiltIndex's
+  // manifest is immutable, so the visible gen-dir set and schema never
+  // change for this instance — re-running the FS listing + parquet footer
+  // schema inference on EVERY query is pure driver latency (tens of ms per
+  // search at interactive scale). Keyed by session identity so a restarted
+  // session re-lists; @transient so the memo never rides task closures
+  // (executors get an empty map they never touch).
+  @transient private lazy val readerMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def readGens(spark: SparkSession, root: String, minGen: Long, maxGen: Long,
-                       dead: Set[Long] = Set.empty): DataFrame = {
-    val dirs = committedGenDirs(spark, root, minGen, maxGen, dead)
-    if (dirs.isEmpty) // no committed data dirs (shouldn't happen under a manifest)
-      throw new IllegalStateException(s"no committed gen in [$minGen,$maxGen] under $root")
-    spark.read.option("basePath", root).parquet(dirs: _*)
-  }
+                       dead: Set[Long] = Set.empty): DataFrame =
+    readerMemo.computeIfAbsent((spark, root), _ => {
+      val dirs = committedGenDirs(spark, root, minGen, maxGen, dead)
+      if (dirs.isEmpty) // no committed data dirs (shouldn't happen under a manifest)
+        throw new IllegalStateException(s"no committed gen in [$minGen,$maxGen] under $root")
+      spark.read.option("basePath", root).parquet(dirs: _*)
+    })
 
   /** VISIBLE data generations of this manifest: [minGen, generation] minus
     * the dead (tiered-merged) generations. */

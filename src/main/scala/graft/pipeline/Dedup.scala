@@ -188,6 +188,12 @@ object MinHashLsh {
       // candidate pairs from shared buckets (bounded per bucket; drops audited)
       val maxBucket = p.maxBucket
       val dropped = spark.sparkContext.longAccumulator("minhash-lsh-dropped-ids")
+      // persisted because it has TWO consumers (candDocs below and the
+      // `inter` join): uncached, Catalyst re-executes the whole upstream
+      // subtree — scan + shingle/signature map over EVERY doc + band
+      // shuffle — once per consumer (seen in the r06 before-plan: the
+      // signature MapPartitions chain appears twice). Bounded like the
+      // shingle cache: candidate pairs only, spillable.
       val candidates = bucketRows.as[(Int, Long, Long)]
         .groupByKey(r => (r._1, r._2))
         .flatMapGroups { (_, it) =>
@@ -195,6 +201,7 @@ object MinHashLsh {
         }
         .distinct()
         .toDF("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // EXACT Jaccard verification — shingles are re-derived ONLY for docs
       // that appear in >= 1 candidate pair (semi-join pushdown): the clean
@@ -231,6 +238,7 @@ object MinHashLsh {
       out.count()
       LshBuckets.warnIfDropped("MinHashLsh.nearDuplicates", dropped)
       candShingles.unpersist(blocking = false)
+      candidates.unpersist(blocking = false)
       out
     }
   }

@@ -43,7 +43,7 @@ final case class QueryHit(queryId: String, docId: Long, score: Double)
 object ScorerBuilder {
 
   /** @param minCompetitive collector threshold feedback (enables WAND);
-    *                       pass () => Double.NegativeInfinity for exhaustive
+    *                       pass ScorerBuilder.neverPrune for exhaustive
     * @return None when the query matches nothing in this segment
     */
   def build(q: Query, postings: Map[String, TermReader], segDocCount: Int,
@@ -53,7 +53,14 @@ object ScorerBuilder {
     case MatchAllQ => Some(new RangeAllScorer(segDocCount, if (scoring) boost else 0.0))
     case TermQ(t) =>
       postings.get(t).map { rd =>
-        new PostingsScorer(rd, boost * ctx.idf.getOrElse(t, 0.0), ctx.cache, scoring)
+        val ps = new PostingsScorer(rd, boost * ctx.idf.getOrElse(t, 0.0), ctx.cache, scoring)
+        // a ROOT-LEVEL scoring term query gets the ImpactsDISI treatment
+        // (skip whole blocks the collector threshold already beats) — live
+        // only when this term's score IS the collected score, exactly like
+        // WAND's gating: nested clauses arrive here with neverPrune
+        if (scoring && (minCompetitive ne neverPrune))
+          new BlockMaxTermScorer(ps, minCompetitive)
+        else ps
       }
     case BoostQ(sub, b) => build(sub, postings, segDocCount, ctx, boost * b, scoring, minCompetitive)
     case ConstQ(sub, b) =>
@@ -104,7 +111,11 @@ object ScorerBuilder {
     }
   }
 
-  private val neverPrune: () => Double = () => Double.NegativeInfinity
+  /** The shared no-pruning sentinel — REFERENCE identity marks a scorer
+    * tree as exhaustive (build's TermQ case tests `ne neverPrune` to decide
+    * whether block-max term skipping is live), so every non-pruning caller
+    * must pass THIS instance, not a fresh equivalent lambda. */
+  val neverPrune: () => Double = ConjunctionScorer.neverPrune
 
   private def buildBool(b: BoolQ, postings: Map[String, TermReader], segDocCount: Int,
                         ctx: QueryContext, boost: Double, scoring: Boolean,
@@ -123,7 +134,14 @@ object ScorerBuilder {
                     else ConjunctionScorer.neverPrune
     val req: Option[Scorer] = (must ++ filt) match {
       case Array() => None
-      case Array(one) if must.length <= 1 => Some(one)
+      case Array(one) if must.length <= 1 =>
+        // a single scoring MUST with no SHOULDs IS the collected score
+        // (MUST_NOT only removes matches): rebuild it with the live
+        // threshold so a lone term clause gets block-max skipping too
+        if (must.length == 1 && filt.isEmpty && b.should.isEmpty && scoring &&
+            (minCompetitive ne neverPrune))
+          build(b.must.head, postings, segDocCount, ctx, boost, scoring, minCompetitive)
+        else Some(one)
       case all => Some(new ConjunctionScorer(all, must, conjPrune))
     }
 
@@ -233,7 +251,7 @@ object SegmentKernel {
     // page" is a plain docId lower bound — segments wholly before it skip
     // via one advance() into the skip structure, never a scan
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = false,
-        () => Double.NegativeInfinity) match {
+        ScorerBuilder.neverPrune) match {
       case None => Iterator.empty
       case Some(s0) =>
         val s = live(s0, deleted)
@@ -253,7 +271,7 @@ object SegmentKernel {
   def count(q: Query, postings: Map[String, TermReader], seg: SegmentMeta,
             ctx: QueryContext, deleted: Array[Int] = Array.emptyIntArray): Long = {
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = false,
-        () => Double.NegativeInfinity) match {
+        ScorerBuilder.neverPrune) match {
       case None => 0L
       case Some(s0) =>
         val s = live(s0, deleted)
@@ -269,7 +287,7 @@ object SegmentKernel {
                ctx: QueryContext, deleted: Array[Int] = Array.emptyIntArray,
                scoring: Boolean = true): Iterator[ScoredDoc] = {
     ScorerBuilder.build(q, postings, seg.docCount.toInt, ctx, 1.0, scoring = scoring,
-        () => Double.NegativeInfinity) match {
+        ScorerBuilder.neverPrune) match {
       case None => Iterator.empty
       case Some(s0) =>
         val s = live(s0, deleted)
@@ -288,6 +306,28 @@ object SegmentKernel {
   * (global docIds encode (segment asc, localDoc asc), so the tie-break keys
   * are identical to `core/search/topdocs.go:33-110`).
   */
+object IndexSearcher {
+  /** Stats-memo LRU bound (entries are a term + two longs — ~100 B each,
+    * so the bound caps the memo near 100 MB of driver heap). */
+  val StatsCacheMaxEntries: Int = 1 << 20
+
+  /** Small-batch merge bound for [[IndexSearcher.searchMany]]: when
+    * queries × segments × k (the worst-case pre-merge row count) is at most
+    * this, leaf hits are collected and merged on the driver (~40 B/row, so
+    * the bound caps the collect near 40 MB); larger batches keep the
+    * distributed groupByKey merge. */
+  val DriverMergeMaxRows: Long = 1L << 20
+
+  /** Access-order LRU bounded at `max` entries: at the bound each insert
+    * evicts only the least-recently-used entry (never the whole map). */
+  private[graft] def lruCache[K, V](max: Int): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](1024, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > max
+      })
+}
+
 final class IndexSearcher(val index: BuiltIndex) extends Serializable {
 
   /** One shared decoded reader per term per partition (executor-side). */
@@ -398,8 +438,25 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     */
   def searchSortBy(spark: SparkSession, q0: Query, fields: DataFrame,
                    sortCols: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
-    val matches = scoreAll(spark, q0).toDF("doc_id", "score")
-    matches.join(fields, "doc_id").orderBy(sortCols: _*).limit(k)
+    // field sort needs scores only when a sort column references the score
+    // column; otherwise run the NON-scoring match kernel (constant-score: no
+    // freq decode, no norm/idf math — the same fast path searchSortByAfter
+    // takes). The returned frame still carries a `score` column for schema
+    // stability; it is 0.0 on the non-scoring path.
+    val needScore = sortCols.exists(c =>
+      org.apache.spark.sql.graft.ColumnRefs.referencedNames(c).contains("score"))
+    if (needScore) {
+      val matches = scoreAll(spark, q0).toDF("doc_id", "score")
+      matches.join(fields, "doc_id").orderBy(sortCols: _*).limit(k)
+    } else {
+      // project the (constant) score away BEFORE the match-set/fields join
+      // — it would otherwise ride the join exchange once per match — and
+      // re-attach it to the k surviving rows for schema stability
+      val matches = matchingDocs(spark, q0).toDF("doc_id", "z").select("doc_id")
+      matches.join(fields, "doc_id").orderBy(sortCols: _*).limit(k)
+        .select(Seq(col("doc_id"), lit(0.0).as("score")) ++
+          fields.columns.filterNot(_ == "doc_id").map(col): _*)
+    }
   }
 
   /** Field-sorted searchAfter — the PagingFieldCollector role
@@ -463,28 +520,43 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     * query logs) skip the stats job entirely. Terms absent from the index
     * are cached as (0, 0).
     */
-  private val statsCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  // Bounded LRU (access-order LinkedHashMap): at the size bound only the
+  // LEAST-recently-used entry is evicted per insert, so a long-lived
+  // searcher at the boundary keeps its hot working set instead of
+  // thrashing between full and cold (the old clear-all did the latter).
+  // Driver-side only; synchronized access is not on any hot loop.
+  // @transient: the searcher rides every task closure (kernel lambdas call
+  // its methods), and a populated memo must not be re-serialized into each
+  // task — executors lazily get an empty map they never touch.
+  @transient private lazy val statsCache =
+    IndexSearcher.lruCache[String, (Long, Long)](IndexSearcher.StatsCacheMaxEntries)
 
   def termStats(spark: SparkSession, terms: Set[String]): Map[String, (Long, Long)] = {
     if (terms.isEmpty) return Map.empty
-    // snapshot cache hits FIRST: the bound below may clear the cache, and
-    // the result must not depend on entries surviving it
+    // snapshot cache hits FIRST: inserts below may evict LRU entries, and
+    // the result must not depend on entries surviving them
     val hits = terms.iterator
       .flatMap(t => Option(statsCache.get(t)).map(t -> _)).toMap
     val missing = terms -- hits.keySet
     val fetched: Map[String, (Long, Long)] =
       if (missing.isEmpty) Map.empty
       else {
-        val f = index.postings(spark)
+        // collect the per-(term, segment) stat rows and sum on the driver:
+        // row count is bounded by |query terms| x |segments| (the same
+        // bound the old groupBy's shuffle input had), and skipping the
+        // aggregation exchange makes the stats job ONE stage — for a cold
+        // interactive query this stage is half its latency. Long sums are
+        // exact and order-independent, so the result is identical.
+        val f = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        index.postings(spark)
           .where(col("term").isin(missing.toSeq: _*))
-          .groupBy("term")
-          .agg(sum("docFreq").as("df"), sum("totalTermFreq").as("ttf"))
+          .select(col("term"), col("docFreq"), col("totalTermFreq"))
           .collect()
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-          .toMap
-        // bound the memo (a long-lived searcher fed unbounded distinct terms
-        // must not grow the driver heap without limit; re-fetch is cheap)
-        if (statsCache.size() > (1 << 20)) statsCache.clear()
+          .foreach { r =>
+            val t = r.getString(0)
+            val (df0, ttf0) = f.getOrElse(t, (0L, 0L))
+            f(t) = (df0 + r.getInt(1), ttf0 + r.getLong(2))
+          }
         missing.foreach(t => statsCache.put(t, f.getOrElse(t, (0L, 0L))))
         missing.iterator.map(t => t -> f.getOrElse(t, (0L, 0L))).toMap
       }
@@ -640,12 +712,20 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     // cost that capped 8->32 batch scaling. Two pruned scans are cheaper
     // than one unpruned scan + cache round-trip, and both parallelize.
     val t1 = System.nanoTime()
-    val stats = rows.groupBy("term")
-      .agg(sum("docFreq").as("df"), sum("totalTermFreq").as("ttf"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver-side sum of the per-(term, segment) stat rows (bounded by
+    // |matched terms| x |segments| — the old groupBy's shuffle input):
+    // drops the aggregation exchange, making the stats pass one stage
+    val stats = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.select(col("term"), col("docFreq")).collect().foreach { r =>
+        val t = r.getString(0)
+        m(t) = m.getOrElse(t, 0L) + r.getInt(1)
+      }
+      m
+    }
     val n = index.stats.fieldDocCount
     val ctx = QueryContext(
-      stats.map { case (t, df) => t -> Bm25.idf(df, n) },
+      stats.iterator.map { case (t, df) => t -> Bm25.idf(df, n) }.toMap,
       Bm25.buildCacheFor(index.manifest.normMode, index.stats.avgdl), n)
     val t2 = System.nanoTime()
     // Task granularity: one-task-per-segment gives |segments| tasks — on a
@@ -690,10 +770,22 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       out.iterator
     }
     // per-query merge ≡ MergeTopDocs; the result is small by construction
-    // (≤ queries×k rows), so materialize eagerly
-    val merged = perLeaf.groupByKey(_.queryId).flatMapGroups { (_, hits) =>
-      hits.toArray.sortBy(h => (-h.score, h.docId)).take(k).iterator
-    }.collect()
+    // (≤ queries×k rows), so materialize eagerly. When even the PRE-merge
+    // row bound (queries × segments × k) is driver-small, collect the leaf
+    // hits directly and merge on the driver — same sort, same take(k),
+    // identical rows — skipping the groupByKey exchange+stage that
+    // dominated small batches (e.g. 200 queries × 8 segments × 10 = 16k
+    // rows do not need a 32-task shuffle). Large batches (the scaling
+    // bench's 4000/40000-query rows included) keep the distributed merge.
+    val merged: Array[QueryHit] =
+      if (normed.size.toLong * nSegs * k <= IndexSearcher.DriverMergeMaxRows) {
+        perLeaf.collect().groupBy(_.queryId).valuesIterator.flatMap { hits =>
+          hits.sortBy(h => (-h.score, h.docId)).take(k)
+        }.toArray
+      } else
+        perLeaf.groupByKey(_.queryId).flatMapGroups { (_, hits) =>
+          hits.toArray.sortBy(h => (-h.score, h.docId)).take(k).iterator
+        }.collect()
     val t3 = System.nanoTime()
     if (sys.env.contains("GRAFT_BATCH_TIMING"))
       System.err.println(f"[graft-batch] rewrite=${(t1 - t0) / 1e9}%.2f stats=${(t2 - t1) / 1e9}%.2f " +
@@ -883,8 +975,11 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
       }
     }
     val keys = for { sid <- segMetas.keys.toSeq; sh <- 0 until shards } yield (sid, sh)
+    // sentinel rows are |segments x shards| tiny tuples: emit them from a
+    // handful of map tasks, not one per partition — at interactive scale
+    // the extra ~30 no-op tasks per query were pure scheduler latency
     val sentinels = spark.sparkContext
-      .parallelize(keys, math.min(nParts, 32))
+      .parallelize(keys, math.min(nParts, 4))
       .map(k => (k, null: AnyRef))
     // tombstones ride the SAME cogroup shuffle as the posting rows: each
     // shard-task sees its segment's live-docs without any driver round-trip

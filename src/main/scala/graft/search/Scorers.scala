@@ -72,6 +72,39 @@ final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
     f
   }
 
+  // Fused scoring stream: docId<<32 | min(freq,FreqSat)<<8 | normByte, one
+  // long per posting. A scoring traversal previously touched THREE arrays
+  // per visit (docs[], freqs[], norms[] — 9 B across three cache-line
+  // streams); the fused array is 8 B in ONE stream, so the whole-vocab
+  // batch (whose wall tracks the host memory probe, BENCH/BASELINE.md
+  // §host diagnostics) reads fewer bytes and strides fewer streams per
+  // posting. Ordering: docId occupies the high 32 bits and local docIds
+  // are non-negative ints, so the longs sort exactly like the docIds and
+  // the in-block binary search runs on the packed values directly.
+  // Saturation: freqs >= FreqSat (2^24-1, unseen in practice) store the
+  // sentinel and are re-read exactly from freqsOf — scores stay
+  // bit-identical in every case.
+  private val memoPacked = new Array[Array[Long]](blocks.length)
+
+  def packedOf(bi: Int): Array[Long] = {
+    var p = memoPacked(bi)
+    if (p == null) {
+      val docs = graft.codec.MonotonicBlock.decode(blocks(bi).docBytes)
+      val freqs = ForBlock.decode(blocks(bi).freqBytes)
+      val norms = blocks(bi).norms
+      p = new Array[Long](docs.length)
+      var i = 0
+      while (i < docs.length) {
+        val f = freqs(i)
+        val fr = if (f >= TermReader.FreqSat) TermReader.FreqSat.toLong else f
+        p(i) = (docs(i) << 32) | (fr << 8) | (norms(i) & 0xFFL)
+        i += 1
+      }
+      memoPacked(bi) = p
+    }
+    p
+  }
+
   /** max over the block's (freq, norm) impacts of g(f, n). */
   def blockG(bi: Int): Double = {
     var m = memoG(bi)
@@ -153,6 +186,10 @@ final class TermReader(val tp: graft.index.TermPostings, cache: Array[Double]) {
 }
 
 object TermReader {
+  /** Saturation sentinel for the fused stream's 24-bit freq field: a stored
+    * freq of exactly this value means "read the exact freq from freqsOf". */
+  val FreqSat: Int = 0xFFFFFF
+
   /** Relative inflation for the weight·g pruning bound. */
   val BoundPad: Double = 1.0 + 4e-16
   /** Absolute inflation (scaled by weight). The exact score path computes
@@ -183,9 +220,14 @@ final class PostingsScorer(
   private val blocks = reader.blocks
   private var bi = -1
   private var i = -1
+  // scoring traversals walk the FUSED doc|freq|norm stream (one cache-line
+  // stream per visit); non-scoring traversals walk the narrow 4-byte docId
+  // array (half the bytes of the fused stream — filter/count paths never
+  // pay for freq+norm they don't read)
   private var docs: Array[Int] = _
-  private var freqs: Array[Int] = _
-  private var norms: Array[Byte] = _
+  private var packed: Array[Long] = _
+  private var len = 0
+  private var loaded = false
   private var cur = -1
 
   def cost: Long = reader.cost
@@ -221,47 +263,53 @@ final class PostingsScorer(
   }
 
   private def loadBlock(): Unit = {
-    docs = reader.docsOf(bi)
-    freqs = if (scoring) reader.freqsOf(bi) else null
-    norms = if (scoring) blocks(bi).norms else null
+    if (scoring) { packed = reader.packedOf(bi); len = packed.length }
+    else { docs = reader.docsOf(bi); len = docs.length }
+    loaded = true
   }
+
+  @inline private def docAt(j: Int): Int =
+    if (scoring) (packed(j) >>> 32).toInt else docs(j)
 
   def docId: Int = cur
 
   def nextDoc(): Int = {
     if (cur == DISI.NO_MORE) return cur
     i += 1
-    if (docs == null || i >= docs.length) {
+    if (!loaded || i >= len) {
       bi += 1
       if (bi >= blocks.length) { cur = DISI.NO_MORE; return cur }
       loadBlock(); i = 0
     }
-    cur = docs(i)
+    cur = docAt(i)
     cur
   }
 
   def advance(target: Int): Int = {
     if (cur == DISI.NO_MORE) return cur
     if (cur >= target) return cur
-    if (docs == null || blocks(bi).maxDoc < target) {
+    if (!loaded || blocks(bi).maxDoc < target) {
       val j = findBlock(math.max(bi, 0), target)
       if (j >= blocks.length) { cur = DISI.NO_MORE; return cur }
-      if (j != bi || docs == null) { bi = j; loadBlock(); i = 0 }
+      if (j != bi || !loaded) { bi = j; loadBlock(); i = 0 }
     } else if (i < 0) i = 0
     // binary search within the block (block maxDoc >= target guarantees a hit)
     var lo = math.max(i, 0)
-    var hi = docs.length - 1
+    var hi = len - 1
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (docs(mid) < target) lo = mid + 1 else hi = mid
+      if (docAt(mid) < target) lo = mid + 1 else hi = mid
     }
     i = lo
-    cur = docs(i)
+    cur = docAt(i)
     cur
   }
 
-  def freq: Int = freqs(i)
-  def normByte: Int = norms(i) & 0xFF
+  def freq: Int = {
+    val f = ((packed(i) >>> 8) & 0xFFFFFFL).toInt
+    if (f == TermReader.FreqSat) reader.freqsOf(bi)(i) else f
+  }
+  def normByte: Int = (packed(i) & 0xFFL).toInt
 
   /** Positions of the CURRENT posting as (flat array, start, end) — zero
     * per-call allocation; the block's prox stream is decoded once and
@@ -272,7 +320,16 @@ final class PostingsScorer(
   }
 
   def score(): Double =
-    if (scoring) Bm25.score(weight, freqs(i), norms(i) & 0xFF, cache) else 0.0
+    if (scoring) {
+      // one fused load yields freq and norm (identical values to the old
+      // freqs(i)/norms(i) reads — Bm25.score's op order is unchanged, so
+      // scores are bit-identical)
+      val pk = packed(i)
+      val f = ((pk >>> 8) & 0xFFFFFFL).toInt
+      Bm25.score(weight,
+        if (f == TermReader.FreqSat) reader.freqsOf(bi)(i) else f,
+        (pk & 0xFFL).toInt, cache)
+    } else 0.0
 }
 
 /** Per-anchor minimal-window computation for sloppy phrases — the
@@ -355,6 +412,49 @@ object SloppyMatch {
     }
     freq
   }
+}
+
+/** Block-max skipping for a ROOT-LEVEL scoring term query — the
+  * ImpactsDISI treatment Lucene's TermScorer gets when its score is the
+  * collected score (`core/search/impactsdisi.go` role; our WAND and
+  * block-max conjunction already consult the same per-block impacts, but a
+  * bare term query previously scored every posting). Iteration skips any
+  * doc whose BLOCK's padded upper bound cannot beat the collector's
+  * current threshold, advancing straight past the block — identical top-k
+  * by the same argument as WAND's pruning (the padded bound certifiably
+  * dominates every score in the block, and ties at the threshold are never
+  * pruned because pruning requires bound <= theta while entry requires
+  * score > theta). The block (end, bound) pair is memoized per block so
+  * the per-doc check is two compares, not a binary search.
+  */
+final class BlockMaxTermScorer(inner: PostingsScorer, minCompetitive: () => Double)
+    extends Scorer {
+  private var winEnd = -1     // maxDoc of the block the memo describes
+  private var winBound = 0.0  // padded upper bound within that block
+
+  def docId: Int = inner.docId
+  def cost: Long = inner.cost
+  lazy val maxScore: Double = inner.maxScore
+  def score(): Double = inner.score()
+
+  private def skipNonCompetitive(d0: Int): Int = {
+    var d = d0
+    while (d != DISI.NO_MORE) {
+      if (d > winEnd) {
+        winEnd = inner.blockEndUpTo(d)
+        winBound = inner.blockMaxScoreUpTo(d)
+      }
+      val theta = minCompetitive()
+      if (winBound > theta || theta == Double.NegativeInfinity) return d
+      // the whole block [d, winEnd] is non-competitive
+      if (winEnd == DISI.NO_MORE || winEnd == Int.MaxValue - 1) return inner.advance(DISI.NO_MORE)
+      d = inner.advance(winEnd + 1)
+    }
+    d
+  }
+
+  def nextDoc(): Int = skipNonCompetitive(inner.nextDoc())
+  def advance(target: Int): Int = skipNonCompetitive(inner.advance(target))
 }
 
 /** Phrase scorer — the PhraseQuery/ExactPhraseMatcher shape Lucene pairs

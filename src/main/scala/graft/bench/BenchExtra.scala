@@ -66,7 +66,51 @@ object BenchExtra {
     case "interactive" => interactive(args.drop(1).headOption.map(_.toInt).getOrElse(2))
     case "batch" => batch()
     case "plans" => plans(args(1), args.lift(2).getOrElse(""))
+    case "ab" => ab(args.drop(1).headOption.map(_.toInt).getOrElse(4))
     case other => sys.error(s"unknown mode $other")
+  }
+
+  /** In-window repeats of the two noisiest interactive rows (minhash and
+    * the big sorted searchSortBy) so a single dirty window can't masquerade
+    * as a regression: all repeats share one JVM and one host window. */
+  private def ab(reps: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = session(cpus, shufflePartitions = cpus)
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mh = (1 to reps).map { _ =>
+        timed(graft.pipeline.MinHashLsh.nearDuplicates(spark, docs, "doc_id", "text").count())._2
+      }
+      println("AB minhash " + mh.map(s => f"$s%.3f").mkString(" "))
+      val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "2000000").toLong
+      val corpusPath = SyntheticCorpus.ensureParquet(spark, nDocs, files = 64,
+        dir = sys.props("java.io.tmpdir"))
+      val sortedBigDir = s"${sys.props("java.io.tmpdir")}/graft-bench-sortedbig2-$nDocs"
+      val m = graft.index.IndexIO.readManifest(spark, sortedBigDir)
+        .getOrElse(sys.error("sortedbig index missing — run interactive mode once first"))
+      val sbig = new IndexSearcher(new graft.index.BuiltIndex(sortedBigDir, m))
+      val bigFields = sbig.index.docmeta(spark)
+        .select(col("docId").as("doc_id"), col("norm"))
+      val hotQ: Query = BoolQ(should = Seq(TermQ("import"), TermQ("def"), TermQ("val")))
+      sbig.searchSortBy(spark, hotQ, bigFields,
+        Seq(col("norm").desc, col("doc_id").asc), 10).collect() // warm
+      val sh = (1 to reps).map { _ =>
+        timed(sbig.searchSortBy(spark, hotQ, bigFields,
+          Seq(col("norm").desc, col("doc_id").asc), 10).collect())._2
+      }
+      println("AB sorted_full_hot " + sh.map(s => f"$s%.3f").mkString(" "))
+      // components: match kernel alone (non-scoring vs scoring), then the
+      // fields join in isolation via a pre-collected tiny frame
+      val km = (1 to reps).map { _ => timed(sbig.matchingDocs(spark, hotQ).count())._2 }
+      println("AB kernel_matching " + km.map(s => f"$s%.3f").mkString(" "))
+      val ks = (1 to reps).map { _ => timed(sbig.scoreAll(spark, hotQ).count())._2 }
+      println("AB kernel_scoreall " + ks.map(s => f"$s%.3f").mkString(" "))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/sorthot_plan.txt"),
+        sbig.searchSortBy(spark, hotQ, bigFields,
+          Seq(col("norm").desc, col("doc_id").asc), 10).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    } finally spark.stop()
   }
 
   /** The Bench interactive section, repeated `reps` times (min reported):

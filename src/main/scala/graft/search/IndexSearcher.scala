@@ -163,7 +163,13 @@ object ScorerBuilder {
         else r
       case (Some(r), Some(o)) =>
         if (b.minShouldMatch > 0) Some(new ConjunctionScorer(Array(r, o), Array(r, o)))
-        else Some(new ReqOptSumScorer(r, o))
+        else
+          // req+opt sum IS the collected score here (MUST_NOT only removes
+          // matches), so the block-max req/opt pruning may use the live
+          // threshold; nested trees arrive with neverPrune and stay
+          // exhaustive
+          Some(new ReqOptSumScorer(r, o,
+            if (scoring) minCompetitive else ConjunctionScorer.neverPrune))
     }
 
     positive.flatMap { pos =>

@@ -429,25 +429,26 @@ object SloppyMatch {
   */
 final class BlockMaxTermScorer(inner: PostingsScorer, minCompetitive: () => Double)
     extends Scorer {
-  private var winEnd = -1     // maxDoc of the block the memo describes
-  private var winBound = 0.0  // padded upper bound within that block
+  private var winEnd = -1 // maxDoc of the last block ACCEPTED as competitive
 
   def docId: Int = inner.docId
   def cost: Long = inner.cost
   lazy val maxScore: Double = inner.maxScore
   def score(): Double = inner.score()
 
+  // The bound/threshold check runs once per BLOCK ENTRY, not per doc:
+  // inside an accepted block the per-doc overhead is a single compare
+  // (d <= winEnd). The threshold only rises, so not re-checking mid-block
+  // merely skips less — never wrongly; a corpus whose impacts are uniform
+  // across blocks (no skip opportunities) pays ~1/128 of the per-doc cost.
   private def skipNonCompetitive(d0: Int): Int = {
     var d = d0
-    while (d != DISI.NO_MORE) {
-      if (d > winEnd) {
-        winEnd = inner.blockEndUpTo(d)
-        winBound = inner.blockMaxScoreUpTo(d)
-      }
+    while (d != DISI.NO_MORE && d > winEnd) {
+      winEnd = inner.blockEndUpTo(d)
       val theta = minCompetitive()
-      if (winBound > theta || theta == Double.NegativeInfinity) return d
+      if (theta == Double.NegativeInfinity || inner.blockMaxScoreUpTo(d) > theta) return d
       // the whole block [d, winEnd] is non-competitive
-      if (winEnd == DISI.NO_MORE || winEnd == Int.MaxValue - 1) return inner.advance(DISI.NO_MORE)
+      if (winEnd == DISI.NO_MORE || winEnd >= Int.MaxValue - 1) return inner.advance(DISI.NO_MORE)
       d = inner.advance(winEnd + 1)
     }
     d
@@ -734,27 +735,58 @@ final class DisjunctionSumScorer(subs: Array[Scorer], msm: Int) extends Scorer {
   def cost: Long = subs.map(_.cost).sum
   lazy val maxScore: Double = subs.map(_.maxScore).sum
 
+  private val headBuf = new Array[Int](subs.length)
+
+  /** msm-th smallest current head docId (with multiplicity). Any doc
+    * matched by >= msm clauses has >= msm heads at or below it once every
+    * clause is positioned >= target, so no qualifying doc below this
+    * candidate exists — the standard minShouldMatch leapfrog: docs present
+    * in fewer than msm lists are skipped without being evaluated. With
+    * msm = 1 this IS the old min-head iteration. */
+  private def kthSmallestHead(): Int = {
+    // msm <= 1 (0 = "optional" side of a mixed query) IS the plain
+    // min-head iteration — one scan, no sort (this path carries the big
+    // constant-score unions: prefix/regex/term-set expansions)
+    if (msm <= 1) {
+      var min = DISI.NO_MORE
+      var j = 0
+      while (j < subs.length) { if (subs(j).docId < min) min = subs(j).docId; j += 1 }
+      min
+    } else {
+      var j = 0
+      while (j < subs.length) { headBuf(j) = subs(j).docId; j += 1 }
+      java.util.Arrays.sort(headBuf) // n is the clause count — tiny
+      headBuf(msm - 1)
+    }
+  }
+
   private def positionAt(target0: Int): Int = {
+    // an EMPTY disjunction (every optional clause absent from this
+    // segment) matches nothing — same as the old min-head loop's behavior
+    if (subs.isEmpty) { cur = DISI.NO_MORE; return cur }
     var target = target0
     while (true) {
-      var min = DISI.NO_MORE
       var j = 0
       while (j < subs.length) {
         val s = subs(j)
         if (s.docId < target) s.advance(target)
-        if (s.docId < min) min = s.docId
         j += 1
       }
-      if (min == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
+      val cand = kthSmallestHead()
+      if (cand == DISI.NO_MORE) { cur = DISI.NO_MORE; return cur }
       var matched = 0
       var sc = 0.0
       j = 0
       while (j < subs.length) {
-        if (subs(j).docId == min) { matched += 1; sc += subs(j).score() }
+        val s = subs(j)
+        if (s.docId < cand) s.advance(cand)
+        // score summed in ORIGINAL clause order — the canonical fp op
+        // order shared with the oracle (unchanged from the min-head loop)
+        if (s.docId == cand) { matched += 1; sc += s.score() }
         j += 1
       }
-      if (matched >= msm) { cur = min; curScore = sc; return cur }
-      target = min + 1
+      if (matched >= msm) { cur = cand; curScore = sc; return cur }
+      target = cand + 1
     }
     cur
   }
@@ -907,13 +939,47 @@ abstract class WandIterationScorer(subs: Array[Scorer],
 }
 
 /** required + optional (`core/search/reqoptsumscorer.go:37-124`):
-  * iterate required; add optional scores when aligned. */
-final class ReqOptSumScorer(req: Scorer, opt: Scorer) extends Scorer {
+  * iterate required; add optional scores when aligned.
+  *
+  * Block-max pruning (Lucene's BlockMaxReqOptScorer role): when the
+  * collector threshold exceeds the required clause's CURRENT-block padded
+  * bound PLUS the optional side's certified global max, no doc in that
+  * window can be competitive — skip to the window end without scoring.
+  * Live only when this sum IS the collected score (root, scoring, no
+  * minShouldMatch coupling — gated in buildBool exactly like the other
+  * pruned scorers); the default sentinel keeps the exhaustive behavior.
+  */
+final class ReqOptSumScorer(req: Scorer, opt: Scorer,
+                            minCompetitive: () => Double = ConjunctionScorer.neverPrune)
+    extends Scorer {
   def docId: Int = req.docId
-  def nextDoc(): Int = req.nextDoc()
-  def advance(target: Int): Int = req.advance(target)
   def cost: Long = req.cost
   lazy val maxScore: Double = req.maxScore + opt.maxScore
+
+  private var winEnd = -1 // maxDoc of the last ACCEPTED req block
+
+  // per-BLOCK check (see BlockMaxTermScorer): inside an accepted block the
+  // per-doc overhead is one compare; a non-PostingsScorer req disables the
+  // check permanently by accepting an infinite window
+  private def toCompetitive(d0: Int): Int = {
+    var d = d0
+    while (d != DISI.NO_MORE && d > winEnd) {
+      req match {
+        case p: PostingsScorer =>
+          winEnd = p.blockEndUpTo(d)
+          val theta = minCompetitive()
+          if (theta == Double.NegativeInfinity ||
+              p.blockMaxScoreUpTo(d) + opt.maxScore > theta) return d
+          if (winEnd == DISI.NO_MORE || winEnd >= Int.MaxValue - 1) return p.advance(DISI.NO_MORE)
+          d = p.advance(winEnd + 1)
+        case _ => winEnd = Int.MaxValue; return d // no block structure to consult
+      }
+    }
+    d
+  }
+
+  def nextDoc(): Int = toCompetitive(req.nextDoc())
+  def advance(target: Int): Int = toCompetitive(req.advance(target))
   def score(): Double = {
     var s = req.score()
     if (opt.docId < req.docId) opt.advance(req.docId)

@@ -89,6 +89,68 @@ class OptimizationSpec extends AnyFunSuite {
     }
   }
 
+  test("ReqOptSumScorer block-max pruning: top-k identical to exhaustive (mixed must+should)") {
+    val n = 800
+    val rnd = new scala.util.Random(11)
+    val cache = Bm25.buildCache(avgdl = 30.0)
+    def term(gap: Int, seed: Int): TermPostings = {
+      val ds = Array.tabulate(n)(i => (i * gap + seed % gap).toLong)
+      val r2 = new scala.util.Random(seed)
+      val fs = Array.fill(n)((1 + r2.nextInt(7)).toLong)
+      val ns = Array.fill(n)((1 + r2.nextInt(150)).toByte)
+      val blocks = IndexBuilder.buildBlocks(ds.map(_.toInt), fs.map(_.toInt), ns)
+      TermPostings(0, s"t$seed", n, fs.sum, blocks, 2)
+    }
+    val reqTp = term(2, 13)
+    val optTp = term(3, 29)
+    for (k <- Seq(1, 5, 10)) {
+      def run(pruned: Boolean): Seq[(Long, Double)] = {
+        val col = new TopKCollector(k, 0L, None)
+        val req = new PostingsScorer(new TermReader(reqTp, cache), 1.7, cache, scoring = true)
+        val opt = new PostingsScorer(new TermReader(optTp, cache), 0.9, cache, scoring = true)
+        val s = new ReqOptSumScorer(req, opt,
+          if (pruned) () => col.minCompetitive else ConjunctionScorer.neverPrune)
+        var d = s.nextDoc()
+        while (d != DISI.NO_MORE) { col.collect(d, s.score()); d = s.nextDoc() }
+        col.results.toSeq
+      }
+      assert(run(pruned = true) == run(pruned = false), s"k=$k")
+    }
+  }
+
+  test("DisjunctionSumScorer msm leapfrog: identical (doc, score) stream to brute force") {
+    val rnd = new scala.util.Random(23)
+    val cache = Bm25.buildCache(avgdl = 25.0)
+    // sparse random lists with varied overlap
+    def term(seed: Int): (TermPostings, Map[Int, (Int, Int)]) = {
+      val r = new scala.util.Random(seed)
+      val ds = (0 until 2000).filter(_ => r.nextDouble() < 0.15).toArray
+      val fs = ds.map(_ => 1 + r.nextInt(5))
+      val ns = ds.map(_ => (1 + r.nextInt(120)).toByte)
+      val blocks = IndexBuilder.buildBlocks(ds, fs, ns)
+      (TermPostings(0, s"t$seed", ds.length, fs.map(_.toLong).sum, blocks, 2),
+        ds.indices.map(i => ds(i) -> (fs(i), ns(i) & 0xFF)).toMap)
+    }
+    val terms = Seq(31, 37, 41, 43).map(term)
+    val weights = Seq(1.1, 0.7, 2.3, 0.4)
+    for (msm <- 1 to 4) {
+      val subs: Array[Scorer] = terms.zip(weights).map { case ((tp, _), w) =>
+        new PostingsScorer(new TermReader(tp, cache), w, cache, scoring = true): Scorer
+      }.toArray
+      val s = new DisjunctionSumScorer(subs, msm)
+      val got = Iterator.continually(s.nextDoc()).takeWhile(_ != DISI.NO_MORE)
+        .map(d => (d, s.score())).toList
+      // brute force: same per-clause score op order (clause order sum)
+      val want = (0 until 2000).flatMap { d =>
+        val per = terms.zip(weights).flatMap { case ((_, m), w) =>
+          m.get(d).map { case (f, nb) => Bm25.score(w, f, nb, cache) }
+        }
+        if (per.size >= msm) Some((d, per.sum)) else None
+      }.toList
+      assert(got == want, s"msm=$msm")
+    }
+  }
+
   // ---- stats-memo LRU ---------------------------------------------------
 
   test("lruCache evicts only the least-recently-used entry, never clears") {

@@ -193,16 +193,24 @@ final class BuiltIndex(val indexDir: String, val manifest: Manifest) extends Ser
   // session re-lists; @transient so the memo never rides task closures
   // (executors get an empty map they never touch).
   @transient private lazy val readerMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, Long, Set[Long]), DataFrame]()
 
   private def readGens(spark: SparkSession, root: String, minGen: Long, maxGen: Long,
-                       dead: Set[Long] = Set.empty): DataFrame =
-    readerMemo.computeIfAbsent((spark, root), _ => {
+                       dead: Set[Long] = Set.empty): DataFrame = {
+    // bound the memo so session-cycling processes don't retain stopped
+    // sessions' plans indefinitely (this instance sees a handful of
+    // (session, root) pairs in normal use; losing entries only re-lists)
+    if (readerMemo.size > 64) readerMemo.clear()
+    // the gen range and dead set are part of the key: for THIS manifest
+    // they are constants per root, but a same-root call with a different
+    // visibility window must never be served the stale frame
+    readerMemo.computeIfAbsent((spark, root, minGen, maxGen, dead), _ => {
       val dirs = committedGenDirs(spark, root, minGen, maxGen, dead)
       if (dirs.isEmpty) // no committed data dirs (shouldn't happen under a manifest)
         throw new IllegalStateException(s"no committed gen in [$minGen,$maxGen] under $root")
       spark.read.option("basePath", root).parquet(dirs: _*)
     })
+  }
 
   /** VISIBLE data generations of this manifest: [minGen, generation] minus
     * the dead (tiered-merged) generations. */

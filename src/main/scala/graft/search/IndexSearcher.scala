@@ -120,8 +120,15 @@ object ScorerBuilder {
   private def buildBool(b: BoolQ, postings: Map[String, TermReader], segDocCount: Int,
                         ctx: QueryContext, boost: Double, scoring: Boolean,
                         minCompetitive: () => Double): Option[Scorer] = {
-    // required clauses: every MUST/FILTER must produce a scorer
-    val mustS = b.must.map(q => build(q, postings, segDocCount, ctx, boost, scoring, neverPrune))
+    // required clauses: every MUST/FILTER must produce a scorer. A LONE
+    // scoring MUST with no FILTER/SHOULD clauses IS the collected score
+    // (MUST_NOT only removes matches), so it gets the live threshold at
+    // construction — one build, not a neverPrune build discarded by a
+    // rebuild below
+    val loneScoringMust = b.must.size == 1 && b.filter.isEmpty && b.should.isEmpty &&
+      scoring && (minCompetitive ne neverPrune)
+    val mustPrune = if (loneScoringMust) minCompetitive else neverPrune
+    val mustS = b.must.map(q => build(q, postings, segDocCount, ctx, boost, scoring, mustPrune))
     val filtS = b.filter.map(q => build(q, postings, segDocCount, ctx, 1.0, scoring = false, neverPrune))
     if ((mustS ++ filtS).exists(_.isEmpty)) return None
     val must = mustS.flatten.toArray
@@ -134,14 +141,7 @@ object ScorerBuilder {
                     else ConjunctionScorer.neverPrune
     val req: Option[Scorer] = (must ++ filt) match {
       case Array() => None
-      case Array(one) if must.length <= 1 =>
-        // a single scoring MUST with no SHOULDs IS the collected score
-        // (MUST_NOT only removes matches): rebuild it with the live
-        // threshold so a lone term clause gets block-max skipping too
-        if (must.length == 1 && filt.isEmpty && b.should.isEmpty && scoring &&
-            (minCompetitive ne neverPrune))
-          build(b.must.head, postings, segDocCount, ctx, boost, scoring, minCompetitive)
-        else Some(one)
+      case Array(one) if must.length <= 1 => Some(one) // incl. the loneScoringMust build above
       case all => Some(new ConjunctionScorer(all, must, conjPrune))
     }
 
@@ -441,6 +441,12 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     * `fields` must carry a `doc_id` column; numeric/range predicates on it
     * get parquet pushdown (the PointRangeQuery ≡ `between` mapping of
     * SURVEY.md §2.4).
+    *
+    * Score contract (r6): when no sort column references `score`, the
+    * match kernel runs NON-scoring (Lucene's TopFieldCollector does not
+    * score either) and the returned `score` column is a constant 0.0 —
+    * field-sorted callers wanting real scores must put `score` among
+    * `sortCols` or use [[search]].
     */
   def searchSortBy(spark: SparkSession, q0: Query, fields: DataFrame,
                    sortCols: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
@@ -449,8 +455,14 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     // freq decode, no norm/idf math — the same fast path searchSortByAfter
     // takes). The returned frame still carries a `score` column for schema
     // stability; it is 0.0 on the non-scoring path.
+    // case-INSENSITIVE match (Spark resolves column names case-insensitively
+    // by default, so col("SCORE") must also keep the scoring path); a missed
+    // reference fails loud, not wrong — the non-scoring frame carries no
+    // score column before the limit, so an undetected score sort is an
+    // AnalysisException, never a silent constant sort
     val needScore = sortCols.exists(c =>
-      org.apache.spark.sql.graft.ColumnRefs.referencedNames(c).contains("score"))
+      org.apache.spark.sql.graft.ColumnRefs.referencedNames(c)
+        .exists(_.equalsIgnoreCase("score")))
     if (needScore) {
       val matches = scoreAll(spark, q0).toDF("doc_id", "score")
       matches.join(fields, "doc_id").orderBy(sortCols: _*).limit(k)
@@ -718,17 +730,25 @@ final class IndexSearcher(val index: BuiltIndex) extends Serializable {
     // cost that capped 8->32 batch scaling. Two pruned scans are cheaper
     // than one unpruned scan + cache round-trip, and both parallelize.
     val t1 = System.nanoTime()
-    // driver-side sum of the per-(term, segment) stat rows (bounded by
-    // |matched terms| x |segments| — the old groupBy's shuffle input):
-    // drops the aggregation exchange, making the stats pass one stage
-    val stats = {
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
-      rows.select(col("term"), col("docFreq")).collect().foreach { r =>
-        val t = r.getString(0)
-        m(t) = m.getOrElse(t, 0L) + r.getInt(1)
-      }
-      m
-    }
+    // Stats pass. Fast path: collect the per-(term, segment) stat rows and
+    // sum on the driver — one stage instead of groupBy's two. The collect
+    // is |matched terms| x |segments| rows, so it is gated on a KNOWN
+    // driver-safe bound: explicit terms x segments under the cap and no
+    // multi-term predicates (whose expansion cardinality is unknown until
+    // scanned). Over the cap (huge dictionaries x many segments) the
+    // distributed aggregation keeps the collect at |terms| rows.
+    val statsRowBound = allTerms.size.toLong * math.max(1, index.manifest.segments.size)
+    val stats: scala.collection.Map[String, Long] =
+      if (allPreds.isEmpty && statsRowBound <= IndexSearcher.DriverMergeMaxRows) {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.select(col("term"), col("docFreq")).collect().foreach { r =>
+          val t = r.getString(0)
+          m(t) = m.getOrElse(t, 0L) + r.getInt(1)
+        }
+        m
+      } else
+        rows.groupBy("term").agg(sum("docFreq").as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = index.stats.fieldDocCount
     val ctx = QueryContext(
       stats.iterator.map { case (t, df) => t -> Bm25.idf(df, n) }.toMap,
